@@ -1,0 +1,190 @@
+"""Internal batched alignment driver shared by the adaptor-facing APIs.
+
+TPU equivalent of ``.align_and_extract`` / ``.align_AA_internal``
+(R/adaptorAlign.R:151-199) and the C driver loop
+(src/adaptor_align.cpp:45-69): one ``dp_align`` launch covers the whole
+batch, after which coordinate maps are backtracked on the host.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.encode import SeqBatch, iupac_reference
+from ..core.frame import Frame
+from ..core.scoring import ScoreTables, build_score_tables
+from ..ops.align import dp_align, prepare_reads, prepare_reference
+from ..ops.backtrack import backtrack_maps
+
+__all__ = [
+    "PreparedAdaptor",
+    "prepare_adaptor",
+    "setup_subseqs",
+    "align_and_extract",
+    "align_scores_only",
+    "resolve_strand",
+]
+
+
+def setup_subseqs(adaptor: str):
+    """Ambiguous stretches ``[^ACTG]+`` of the adaptor (R/adaptorAlign.R:136-143).
+
+    Returns (starts, ends), both 1-based inclusive.
+    """
+    starts, ends = [], []
+    for m in re.finditer("[^ACTG]+", adaptor):
+        starts.append(m.start() + 1)
+        ends.append(m.end())
+    return starts, ends
+
+
+@dataclass
+class PreparedAdaptor:
+    """An adaptor with its device-side scoring arrays and section layout."""
+
+    seq: str
+    modes: jnp.ndarray
+    matched: jnp.ndarray
+    match_tab: jnp.ndarray
+    mismatch_tab: jnp.ndarray
+    sec_starts: list[int]
+    sec_ends: list[int]
+    tables: ScoreTables
+
+    def __len__(self):
+        return len(self.seq)
+
+
+def prepare_adaptor(
+    adaptor: str, qual_type: str = "phred", dtype=jnp.float32
+) -> PreparedAdaptor:
+    adaptor = adaptor.upper()
+    tables = build_score_tables(qual_type)
+    modes, matched, mt, mmt = prepare_reference(
+        iupac_reference(adaptor), tables, dtype=dtype
+    )
+    starts, ends = setup_subseqs(adaptor)
+    return PreparedAdaptor(adaptor, modes, matched, mt, mmt, starts, ends, tables)
+
+
+def _pad_batch(batch: SeqBatch, pad_n: int | None) -> tuple[SeqBatch, int]:
+    """Pad the batch to a fixed row count so jit shapes stay stable."""
+    n = len(batch)
+    if pad_n is None or pad_n <= n:
+        return batch, n
+    extra = pad_n - n
+    codes = np.concatenate(
+        [batch.codes, np.full((extra, batch.width), 5, np.int8)], axis=0
+    )
+    lengths = np.concatenate([batch.lengths, np.zeros(extra, np.int32)])
+    quals = None
+    if batch.quals is not None:
+        quals = np.concatenate(
+            [batch.quals, np.zeros((extra, batch.width), np.uint8)], axis=0
+        )
+    return SeqBatch(codes, lengths, quals, None), n
+
+
+def align_scores_only(
+    adaptor: PreparedAdaptor,
+    batch: SeqBatch,
+    gap_opening: float,
+    gap_extension: float,
+    pad_n: int | None = None,
+) -> np.ndarray:
+    """Batch fitting-mode scores (src/adaptor_align.cpp:79-110)."""
+    padded, n = _pad_batch(batch, pad_n)
+    codes, qidx, lengths = prepare_reads(padded, adaptor.tables)
+    scores, _ = dp_align(
+        codes,
+        qidx,
+        lengths,
+        adaptor.modes,
+        adaptor.matched,
+        adaptor.match_tab,
+        adaptor.mismatch_tab,
+        float(gap_opening),
+        float(gap_extension),
+        local=True,
+        need_directions=False,
+    )
+    return np.asarray(scores)[:n].astype(np.float64)
+
+
+def align_and_extract(
+    adaptor: PreparedAdaptor,
+    batch: SeqBatch,
+    gap_opening: float,
+    gap_extension: float,
+    pad_n: int | None = None,
+) -> Frame:
+    """Scores, read-coordinate spans, and per-section subsequences.
+
+    Mirrors src/adaptor_align.cpp:45-75 + R/adaptorAlign.R:151-175: spans are
+    1-based inclusive; empty alignments report start=end=0; section
+    subsequences include flanking gaps (querymap include_gaps=True).
+    """
+    padded, n = _pad_batch(batch, pad_n)
+    codes, qidx, lengths = prepare_reads(padded, adaptor.tables)
+    scores, dirs = dp_align(
+        codes,
+        qidx,
+        lengths,
+        adaptor.modes,
+        adaptor.matched,
+        adaptor.match_tab,
+        adaptor.mismatch_tab,
+        float(gap_opening),
+        float(gap_extension),
+        local=True,
+        need_directions=True,
+    )
+    scores = np.asarray(scores)[:n].astype(np.float64)
+    dirs = np.asarray(dirs)[:, :n, :]
+
+    rlen = len(adaptor)
+    qmaps = backtrack_maps(dirs, batch.lengths, rlen)
+
+    starts = np.zeros(n, dtype=np.int32)
+    ends = np.zeros(n, dtype=np.int32)
+    nsec = len(adaptor.sec_starts)
+    sec_start = np.zeros((nsec, n), dtype=np.int32)
+    sec_width = np.zeros((nsec, n), dtype=np.int32)
+    for i, qm in enumerate(qmaps):
+        s, e = qm(0, rlen)
+        if s < e:  # empty-sequence guard (adaptor_align.cpp:59)
+            starts[i] = s + 1
+            ends[i] = e
+        for k in range(nsec):
+            cs, ce = qm(adaptor.sec_starts[k] - 1, adaptor.sec_ends[k], include_gaps=True)
+            sec_start[k, i] = cs + 1
+            sec_width[k, i] = ce - cs
+
+    out = Frame(score=scores, start=starts, end=ends)
+    if nsec:
+        segs = {}
+        for k in range(nsec):
+            s1 = sec_start[k].astype(np.int64)
+            segs[f"Sub{k + 1}"] = batch.subseq(s1, s1 + sec_width[k] - 1)
+        out["subseq"] = Frame(segs)
+    else:
+        out["subseq"] = Frame(nrow=n)
+    return out
+
+
+def resolve_strand(
+    start_score: np.ndarray,
+    end_score: np.ndarray,
+    rc_start_score: np.ndarray,
+    rc_end_score: np.ndarray,
+):
+    """R/adaptorAlign.R:112-122: orientation by clamped combined score."""
+    fscore = np.maximum(start_score, 0) + np.maximum(end_score, 0)
+    rscore = np.maximum(rc_start_score, 0) + np.maximum(rc_end_score, 0)
+    is_reverse = fscore < rscore
+    final = np.where(is_reverse, rscore, fscore)
+    return is_reverse, final

@@ -145,6 +145,30 @@ class SeqBatch:
             for i, n in enumerate(self.lengths)
         ]
 
+    @classmethod
+    def concat(cls, batches: Sequence["SeqBatch"]) -> "SeqBatch":
+        """Row-concatenate batches (re-padding to the widest)."""
+        batches = list(batches)
+        if not batches:
+            return cls(np.zeros((0, 0), np.int8), np.zeros(0, np.int32))
+        width = max(b.width for b in batches)
+        total = sum(len(b) for b in batches)
+        codes = np.full((total, width), GAP_CODE, dtype=np.int8)
+        has_q = all(b.quals is not None for b in batches)
+        quals = np.zeros((total, width), dtype=np.uint8) if has_q else None
+        has_names = all(b.names is not None for b in batches)
+        names: list[str] | None = [] if has_names else None
+        lengths = np.concatenate([b.lengths for b in batches]).astype(np.int32)
+        at = 0
+        for b in batches:
+            codes[at : at + len(b), : b.width] = b.codes
+            if quals is not None:
+                quals[at : at + len(b), : b.width] = b.quals
+            if names is not None:
+                names.extend(b.names)  # type: ignore[arg-type]
+            at += len(b)
+        return cls(codes, lengths, quals, names)
+
     def take(self, idx) -> "SeqBatch":
         idx = np.asarray(idx)
         return SeqBatch(
