@@ -1,0 +1,138 @@
+"""Batched masked-Levenshtein distances on device.
+
+TPU replacement for both the all-pairs kernel (src/compute_lev_masked.cpp)
+and the sorted trie's thresholded search (src/sorted_trie.cpp): instead of a
+pruned trie walk, distances for *tiles of pairs* advance together through a
+``lax.scan`` column DP, and thresholding happens afterwards.  Dense regular
+compute beats pointer-chasing on TPU, and the doubled-integer cost model
+(match 0, N-vs-anything 1, mismatch/indel 2 — sorted_trie.cpp:13-21) makes
+thresholding exact in int32: ``dist2 <= 2*limit`` reproduces the trie's
+neighbour sets bit-for-bit, and ``dist2 / 2`` reproduces the float masked
+distance of compute_lev_masked.cpp (N contributes 0.5).
+
+The column recurrence ``col[i] = min(prev[i]+2, col[i-1]+2, prev[i-1]+ms)``
+carries a sequential dependence through ``col[i-1]``; as in :mod:`.align` it
+unrolls to a shifted prefix-min — ``col[i] = min_k (cand[k] + 2*(i-k))`` with
+``cand[i] = min(prev[i]+2, prev[i-1]+ms_i)`` — computed with ``lax.cummin``,
+so the pair axis and the position axis stay fully parallel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["lev2_pairs", "lev2_condensed", "lev2_matrix"]
+
+
+@jax.jit
+def lev2_pairs(codes_a, lens_a, codes_b, lens_b):
+    """Doubled masked Levenshtein for P pairs of padded code rows.
+
+    codes_* : [P, L] int32 (A=0..N=4, pad=5); lens_* : [P] int32.
+    Returns [P] int32 doubled distances.
+    """
+    P, L = codes_a.shape
+    idx = jnp.arange(L + 1, dtype=jnp.int32)[None, :]  # [1, L+1]
+
+    prev0 = jnp.broadcast_to(2 * idx, (P, L + 1))
+    ans0 = 2 * lens_a.astype(jnp.int32)  # lb == 0 answer
+
+    a_is_n = codes_a == 4  # [P, L]
+
+    def step(carry, jx):
+        prev, ans = carry
+        b = jax.lax.dynamic_index_in_dim(codes_b, jx, 1, keepdims=True)  # [P,1]
+        ms = jnp.where(
+            jnp.logical_or(b == 4, a_is_n),
+            1,
+            jnp.where(codes_a == b, 0, 2),
+        ).astype(jnp.int32)  # [P, L]
+        cand = jnp.concatenate(
+            [
+                jnp.full((P, 1), 2 * (jx + 1), jnp.int32),
+                jnp.minimum(prev[:, 1:] + 2, prev[:, :-1] + ms),
+            ],
+            axis=1,
+        )
+        t = cand - 2 * idx
+        col = jax.lax.cummin(t, axis=1) + 2 * idx
+        got = jnp.take_along_axis(col, lens_a[:, None].astype(jnp.int32), axis=1)[:, 0]
+        ans = jnp.where(jx + 1 == lens_b, got, ans)
+        return (col, ans), None
+
+    (_, ans), _ = jax.lax.scan(
+        step, (prev0, ans0), jnp.arange(L, dtype=jnp.int32)
+    )
+    return ans
+
+
+def _bucket(n: int) -> int:
+    """Round P up to a power-of-two bucket (>= 256) to bound recompiles."""
+    b = 256
+    while b < n:
+        b *= 2
+    return b
+
+
+def _run_pairs(ca, la, cb, lb) -> np.ndarray:
+    P = ca.shape[0]
+    if P == 0:
+        return np.zeros(0, dtype=np.int32)
+    B = _bucket(P)
+    if B != P:
+        pad = B - P
+        ca = np.concatenate([ca, np.full((pad, ca.shape[1]), 5, ca.dtype)])
+        cb = np.concatenate([cb, np.full((pad, cb.shape[1]), 5, cb.dtype)])
+        la = np.concatenate([la, np.zeros(pad, la.dtype)])
+        lb = np.concatenate([lb, np.zeros(pad, lb.dtype)])
+    out = np.asarray(
+        lev2_pairs(
+            jnp.asarray(ca, jnp.int32),
+            jnp.asarray(la, jnp.int32),
+            jnp.asarray(cb, jnp.int32),
+            jnp.asarray(lb, jnp.int32),
+        )
+    )
+    return out[:P]
+
+
+def lev2_condensed(codes: np.ndarray, lengths: np.ndarray, max_pairs: int = 1 << 22) -> np.ndarray:
+    """All-pairs doubled distances, condensed lower-triangle (i<j, i-major).
+
+    Matches compute_lev_masked.cpp's emission order (:44-55); divide by 2.0
+    for the float masked distance.
+    """
+    n = codes.shape[0]
+    iu, ju = np.triu_indices(n, k=1)
+    out = np.zeros(iu.size, dtype=np.int32)
+    for at in range(0, iu.size, max_pairs):
+        sl = slice(at, min(at + max_pairs, iu.size))
+        out[sl] = _run_pairs(
+            codes[iu[sl]], lengths[iu[sl]], codes[ju[sl]], lengths[ju[sl]]
+        )
+    return out
+
+
+def lev2_matrix(codes: np.ndarray, lengths: np.ndarray, max_pairs: int = 1 << 22) -> np.ndarray:
+    """Full symmetric doubled-distance matrix [n, n] int32.
+
+    The diagonal is computed, not assumed zero: an ``N`` matches *nothing*,
+    itself included (sorted_trie.cpp:13-21), so self-distances of
+    N-containing sequences are positive — which is how the reference's
+    neighbour sets can legitimately come up empty.
+    """
+    n = codes.shape[0]
+    mat = np.zeros((n, n), dtype=np.int32)
+    cond = lev2_condensed(codes, lengths, max_pairs=max_pairs)
+    iu, ju = np.triu_indices(n, k=1)
+    mat[iu, ju] = cond
+    mat[ju, iu] = cond
+    has_n = np.any(codes[:, : codes.shape[1]] == 4, axis=1) if codes.size else np.zeros(0, bool)
+    idx = np.flatnonzero(has_n)
+    if idx.size:
+        mat[idx, idx] = _run_pairs(codes[idx], lengths[idx], codes[idx], lengths[idx])
+    return mat

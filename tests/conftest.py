@@ -7,7 +7,11 @@ chip is exercised by bench.py, not the unit tests.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image force-registers the remote-TPU ("axon") PJRT plugin in every
+# process via sitecustomize when PALLAS_AXON_POOL_IPS is set; unit tests must
+# run on a genuine local CPU mesh, so disable it before JAX loads.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
