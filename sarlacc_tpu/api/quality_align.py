@@ -1,0 +1,72 @@
+"""``quality_align`` — batch global quality-aware alignment to one reference.
+
+Parity with R/qualityAlign.R + src/general_align.cpp: global mode, returns
+scores, edit distances (count of differing alignment columns, gaps
+included), and optionally the gapped reference/query strings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.encode import SeqBatch
+from ..core.frame import Frame
+from ..ops.align import dp_align, prepare_reads
+from ..ops.backtrack import backtrack_strings
+from .align_internal import prepare_adaptor
+
+__all__ = ["quality_align"]
+
+
+def quality_align(
+    sequences: SeqBatch,
+    reference: str,
+    gap_opening: float = 5,
+    gap_extension: float = 1,
+    edit_only: bool = False,
+    qual_type: str = "phred",
+) -> Frame:
+    ref = str(reference).upper()
+    prep = prepare_adaptor(ref, qual_type)
+    codes, qidx, lengths = prepare_reads(sequences, prep.tables)
+    scores, dirs = dp_align(
+        codes,
+        qidx,
+        lengths,
+        prep.modes,
+        prep.matched,
+        prep.match_tab,
+        prep.mismatch_tab,
+        float(gap_opening),
+        float(gap_extension),
+        local=False,
+        need_directions=True,
+    )
+    scores = np.asarray(scores, dtype=np.float64)
+    dirs = np.asarray(dirs)
+
+    n = len(sequences)
+    seq_strs = sequences.seq_strings()
+    edits = np.zeros(n, dtype=np.int64)
+    refalign: list[str] = []
+    qalign: list[str] = []
+    for i in range(n):
+        rstr, qstr = backtrack_strings(
+            dirs[:, i, : int(lengths[i]) + 1], len(ref), ref, seq_strs[i]
+        )
+        edits[i] = sum(1 for a, b in zip(rstr, qstr) if a != b)
+        if not edit_only:
+            refalign.append(rstr)
+            qalign.append(qstr)
+
+    cols = {"score": scores, "edit": edits}
+    if not edit_only:
+        cols["reference"] = refalign
+        cols["query"] = qalign
+    out = Frame(cols)
+    out.metadata = {
+        "gapOpening": gap_opening,
+        "gapExtension": gap_extension,
+        "reference": reference,
+    }
+    return out
