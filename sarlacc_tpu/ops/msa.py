@@ -51,6 +51,7 @@ def _banded_pair_kernel(
     lens_a,  # [P]
     lens_b,  # [P]
     lo,  # [P] int32 per-pair band lower diagonal
+    kmax,  # [P] int32 per-pair inclusive band plane limit (hi - lo)
     match,
     mismatch,
     gap_open,
@@ -68,6 +69,7 @@ def _banded_pair_kernel(
     W = width
     karr = jnp.arange(W, dtype=jnp.int32)[None, :]  # [1, W]
 
+    in_band = karr <= kmax[:, None]  # shape-padding must not widen the band
     j0 = lo[:, None] + karr  # j index at row 0
     # Row 0: S[0][j] = 0 if j == 0 else -(go + (j-1)*ge) for 1 <= j <= lb.
     jj = j0.astype(jnp.float32)
@@ -75,19 +77,19 @@ def _banded_pair_kernel(
         j0 == 0,
         0.0,
         jnp.where(
-            jnp.logical_and(j0 >= 1, j0 <= lens_b[:, None]),
+            jnp.logical_and(jnp.logical_and(j0 >= 1, j0 <= lens_b[:, None]), in_band),
             -(gap_open + (jj - 1.0) * gap_ext),
             NEG,
         ),
     )
-    h0 = jnp.where(jnp.logical_and(j0 >= 1, j0 <= lens_b[:, None]), s0, NEG)
+    h0 = jnp.where(s0 > NEG / 2, jnp.where(j0 >= 1, s0, NEG), NEG)
     v0 = jnp.full((P, W), NEG)
 
     def row(carry, i):
         S, H, V = carry  # previous row, band coords
         # j index for this row: j = i + lo + k.
         j = i + lo[:, None] + karr  # [P, W]
-        valid = jnp.logical_and(j >= 0, j <= lens_b[:, None])
+        valid = jnp.logical_and(jnp.logical_and(j >= 0, j <= lens_b[:, None]), in_band)
         alive = i <= lens_a[:, None]
 
         a_i = jnp.take_along_axis(
@@ -176,21 +178,52 @@ def banded_pair_align(
     W = int((hi - lo).max()) + 1 if P else 1
     rows = int(lens_a.max()) if P else 0
 
+    # Bucket jit shapes (pairs, scan length, band width, sequence planes) to
+    # powers of two so repeated launches across ragged groups reuse compiles.
+    def _bkt(x, base):
+        b = base
+        while b < x:
+            b *= 2
+        return b
+
+    Pp = _bkt(max(P, 1), 8)
+    rows_b = _bkt(max(rows, 1), 64)
+    W_b = _bkt(W, 64)
+    la_b = _bkt(max(codes_a.shape[1], 1), 64)
+    lb_b = _bkt(max(codes_b.shape[1], 1), 64)
+
+    def _pad2(a, n, w, fill):
+        out = np.full((n, w), fill, a.dtype)
+        out[: a.shape[0], : a.shape[1]] = a
+        return out
+
+    codes_a_p = _pad2(np.asarray(codes_a), Pp, la_b, 5)
+    codes_b_p = _pad2(np.asarray(codes_b), Pp, lb_b, 5)
+    lens_a_p = np.zeros(Pp, np.int32)
+    lens_a_p[:P] = lens_a
+    lens_b_p = np.zeros(Pp, np.int32)
+    lens_b_p[:P] = lens_b
+    lo_p = np.full(Pp, -bandwidth, np.int32)
+    lo_p[:P] = lo
+    hi_p = np.full(Pp, bandwidth, np.int32)
+    hi_p[:P] = hi
+
     scores, dirs = _banded_pair_kernel(
-        jnp.asarray(codes_a, jnp.int32),
-        jnp.asarray(codes_b, jnp.int32),
-        jnp.asarray(lens_a),
-        jnp.asarray(lens_b),
-        jnp.asarray(lo),
+        jnp.asarray(codes_a_p, jnp.int32),
+        jnp.asarray(codes_b_p, jnp.int32),
+        jnp.asarray(lens_a_p),
+        jnp.asarray(lens_b_p),
+        jnp.asarray(lo_p),
+        jnp.asarray(hi_p - lo_p),
         float(match),
         float(mismatch),
         float(gap_open),
         float(gap_ext),
-        rows=rows,
-        width=W,
+        rows=rows_b,
+        width=W_b,
     )
-    scores = np.asarray(scores, np.float64)
-    dirs = np.asarray(dirs)
+    scores = np.asarray(scores, np.float64)[:P]
+    dirs = np.asarray(dirs)[:, :P, :]
 
     paths = []
     for p in range(P):

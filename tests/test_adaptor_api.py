@@ -1,0 +1,178 @@
+"""End-to-end adaptor pipeline tests (reference test-adaptor-align.R:142-212 +
+test-tuning.R models): tempfile FASTQ round trips, strand flips, filtering,
+realization, subsequence extraction, barcodes, and calibration."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import sarlacc_tpu as st
+from sarlacc_tpu.api.tune import compute_threshold, tied_overlap
+from sarlacc_tpu.core.encode import SeqBatch
+
+ADAPTOR1 = "ACGCTAGCATCAGTC" + "NNNN" + "CACAGCTACGA" + "NNNNNNNN" + "CGTACGCAT"
+ADAPTOR2 = "TGCATCGATCGCAT"
+
+
+def _revcomp(s):
+    return s.translate(str.maketrans("ACGTN", "TGCAN"))[::-1]
+
+
+@pytest.fixture(scope="module")
+def mock_fastq():
+    fp = tempfile.mktemp(suffix=".fastq")
+    refs, names = st.mock_reads(
+        ADAPTOR1,
+        ADAPTOR2,
+        fp,
+        nmolecules=3,
+        nreads_range=(5, 9),
+        seqlen_range=(120, 200),
+        seed=3,
+    )
+    yield fp, refs
+    os.remove(fp)
+
+
+@pytest.fixture(scope="module")
+def aligned(mock_fastq):
+    fp, _ = mock_fastq
+    return st.adaptor_align(ADAPTOR1, ADAPTOR2, filepath=fp, tolerance=80, number=50)
+
+
+def test_adaptor_align_schema(aligned):
+    assert aligned.colnames == ["read.width", "adaptor1", "adaptor2", "reversed"]
+    a1 = aligned["adaptor1"]
+    assert set(a1.colnames) == {"score", "start", "end", "subseq"}
+    assert a1["subseq"].colnames == ["Sub1", "Sub2"]
+    assert a1.metadata["sequence"] == ADAPTOR1
+    assert aligned.metadata["tolerance"] == 80
+    # Forward-strand adaptor2 coordinates are flipped (start > end).
+    a2 = aligned["adaptor2"]
+    assert np.all(a2["start"] >= a2["end"])
+
+
+def test_strand_flip_consistency():
+    # A read and its reverse complement give mirrored results
+    # (test-adaptor-align.R:186-199).
+    rng = np.random.default_rng(0)
+    insert = "".join(rng.choice(list("ACGT"), 100))
+    core = ADAPTOR1.replace("N", "A") + insert + _revcomp(ADAPTOR2)
+    qual = "I" * len(core)
+    fwd_and_rev = SeqBatch.from_strings(
+        [core, _revcomp(core)], [qual, qual], names=["fwd", "rev"]
+    )
+    out = st.adaptor_align(ADAPTOR1, ADAPTOR2, reads=fwd_and_rev, tolerance=80)
+    assert not out["reversed"][0] and out["reversed"][1]
+    for col in ("score", "start", "end"):
+        assert out["adaptor1"][col][0] == out["adaptor1"][col][1]
+        assert out["adaptor2"][col][0] == out["adaptor2"][col][1]
+
+
+def test_empty_input():
+    out = st.adaptor_align(ADAPTOR1, ADAPTOR2, reads=SeqBatch.from_strings([], []))
+    assert len(out) == 0
+    assert out.colnames == ["read.width", "adaptor1", "adaptor2", "reversed"]
+
+
+def test_filter_and_realize(mock_fastq, aligned):
+    fp, _ = mock_fastq
+    thr = st.get_adaptor_thresholds(aligned, error=0.05)
+    filtered = st.filter_reads(aligned, thr["threshold1"], thr["threshold2"])
+    assert len(filtered) <= len(aligned)
+    assert "trim.start" in filtered and "trim.end" in filtered
+    assert np.all(filtered["trim.start"] < filtered["trim.end"])
+
+    reads = st.realize_reads(filtered, number=50)
+    assert len(reads) == len(filtered)
+    # Trimmed width equals the trim interval.
+    np.testing.assert_array_equal(
+        reads.lengths, filtered["trim.end"] - filtered["trim.start"] + 1
+    )
+
+    # Non-essential adaptors keep everything.
+    loose = st.filter_reads(aligned, 1e9, 1e9, essential1=False, essential2=False)
+    assert len(loose) == len(aligned)
+
+
+def test_extract_subseq_consistency(mock_fastq, aligned):
+    fp, _ = mock_fastq
+    out = st.extract_subseq(aligned, subseq1=([31], [38]), number=50)
+    assert out["adaptor1"]["Sub1"].seq_strings() == (
+        aligned["adaptor1"]["subseq"]["Sub2"].seq_strings()
+    )
+
+
+def test_barcode_align_and_thresholds(aligned):
+    barcodes = ["AAAA", "CCCC", "GGGG", "TTTT"]
+    bc = aligned["adaptor1"]["subseq"]["Sub1"]
+    out = st.barcode_align(bc, barcodes)
+    assert set(out.colnames) == {"barcode", "score", "gap"}
+    assert np.all(out["gap"] >= 0)
+    assert out.metadata["barcodes"] == barcodes
+    thr = st.get_barcode_thresholds(out, nmads=3)
+    assert thr["score"] <= np.median(out["score"])
+
+
+def test_tied_overlap_units():
+    # Unit cases (test-tuning.R:53-59).
+    assert tied_overlap(np.array([2.0]), np.array([1.0])) == 1.0
+    assert tied_overlap(np.array([0.0]), np.array([1.0])) == 0.0
+    assert tied_overlap(np.array([1.0]), np.array([1.0])) == 0.5
+    assert tied_overlap(np.array([1.0, 3.0]), np.array([0.0, 2.0])) == 0.75
+
+
+def test_compute_threshold_basic():
+    real = np.array([1.0, 2, 3, 4, 5, 6, 7, 8, 9, 10])
+    scram = np.array([0.5, 1.5, 2.5])
+    thr = compute_threshold(real, scram, error=0.1)
+    # At threshold 3: 1 scrambled above? no — 0 above 3 of [0.5,1.5,2.5].
+    assert thr <= 4.0
+
+
+def test_tune_alignment_separates(mock_fastq):
+    fp, _ = mock_fastq
+    out = st.tune_alignment(
+        ADAPTOR1,
+        ADAPTOR2,
+        filepath=fp,
+        tolerance=60,
+        number=20,
+        gap_op_range=(4, 5),
+        gap_ext_range=(1, 2),
+    )
+    assert out["parameters"]["gapOpening"] in (4, 5)
+    # Real scores dominate scrambled ones on mock data.
+    assert np.median(out["scores"]["reads"]) > np.median(out["scores"]["scrambled"])
+
+
+def test_tune_empty_input():
+    out = st.tune_alignment(
+        ADAPTOR1, ADAPTOR2, reads=SeqBatch.from_strings([], []), number=5
+    )
+    assert out["parameters"]["gapOpening"] is None
+
+
+def test_quality_align_oracle(rng):
+    from sarlacc_tpu.refimpl.align import ReferenceAlign
+
+    seqs, quals = [], []
+    for _ in range(10):
+        ln = int(rng.integers(5, 30))
+        seqs.append("".join(rng.choice(list("ACGT"), ln)))
+        quals.append("".join(chr(int(c)) for c in rng.integers(34, 70, ln)))
+    ref = "ACGTACGTACGTGGCCA"
+    out = st.quality_align(SeqBatch.from_strings(seqs, quals), ref)
+    ra = ReferenceAlign(ref, 5, 1)
+    for i in range(10):
+        # The API path runs float32 on device; the reference's own tests use
+        # 1e-4/1e-5 tolerances against Biostrings (test-adaptor-align.R:38-40).
+        assert out["score"][i] == pytest.approx(
+            ra.align(seqs[i], quals[i], local=False), abs=1e-4
+        )
+        assert out["query"][i].replace("-", "") == seqs[i]
+        assert out["edit"][i] == sum(
+            1 for a, b in zip(out["reference"][i], out["query"][i]) if a != b
+        )

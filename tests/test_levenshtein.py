@@ -1,0 +1,91 @@
+"""Masked-Levenshtein kernel tests (reference test-levenshtein.R model).
+
+The in-test oracle is an independently written plain Levenshtein with the
+masking rules; the shipped implementations (refimpl + device kernel) must
+agree at thresholds, under duplicates, empties, and N-masking — including
+the "N vs N = 0.5" rule (test-levenshtein.R:31-46,122-138).
+"""
+
+import numpy as np
+import pytest
+
+from sarlacc_tpu.api.umi import _neighbor_lists, expected_dist
+from sarlacc_tpu.core.encode import encode_batch
+from sarlacc_tpu.ops.levenshtein import lev2_condensed, lev2_matrix
+from sarlacc_tpu.refimpl.levenshtein import (
+    find_neighbors,
+    lev2_int,
+    lev_masked_condensed,
+)
+
+
+def slow_lev(a: str, b: str) -> float:
+    """Independent masked Levenshtein, recursive definition memoized."""
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def rec(i, j):
+        if i == 0:
+            return float(j)
+        if j == 0:
+            return float(i)
+        ca, cb = a[i - 1], b[j - 1]
+        sub = 0.5 if "N" in (ca, cb) else (0.0 if ca == cb else 1.0)
+        return min(rec(i - 1, j) + 1, rec(i, j - 1) + 1, rec(i - 1, j - 1) + sub)
+
+    return rec(len(a), len(b))
+
+
+def rand_seqs(rng, n, minl=4, maxl=10, p_n=0.1):
+    p = [(1 - p_n) / 4] * 4 + [p_n]
+    return [
+        "".join(rng.choice(list("ACGTN"), int(rng.integers(minl, maxl + 1)), p=p))
+        for _ in range(n)
+    ]
+
+
+def test_pairwise_against_slow_oracle(rng):
+    seqs = rand_seqs(rng, 20)
+    codes, lengths = encode_batch(seqs)
+    mat = lev2_matrix(codes.astype(np.int32), lengths)
+    for i in range(len(seqs)):
+        for j in range(len(seqs)):
+            expect = slow_lev(seqs[i], seqs[j])
+            assert mat[i, j] / 2.0 == expect, (seqs[i], seqs[j])
+            assert lev2_int(seqs[i], seqs[j]) / 2.0 == expect
+
+
+def test_condensed_matches_refimpl(rng):
+    seqs = rand_seqs(rng, 30)
+    codes, lengths = encode_batch(seqs)
+    dev = lev2_condensed(codes.astype(np.int32), lengths).astype(float) / 2.0
+    ref = lev_masked_condensed(seqs)
+    assert np.array_equal(dev, ref)
+    assert np.array_equal(expected_dist(seqs), ref)
+
+
+def test_n_vs_n_half():
+    assert lev2_int("N", "N") == 1  # doubled 0.5
+    assert slow_lev("N", "N") == 0.5
+    assert lev2_int("AN", "AN") == 1
+    assert lev2_int("ANA", "AA") == 2  # indel of N costs 1.0 doubled
+
+
+def test_empty_strings():
+    assert lev2_int("", "") == 0
+    assert lev2_int("", "ACG") == 6
+    assert lev2_int("ACG", "") == 6
+    codes, lengths = encode_batch(["", "ACG", ""])
+    mat = lev2_matrix(codes.astype(np.int32), lengths)
+    assert mat[0, 1] == 6 and mat[0, 2] == 0
+
+
+@pytest.mark.parametrize("limit", [2, 5])
+def test_neighbor_sets_match_trie_oracle(rng, limit):
+    # Sorted and unsorted query orders give identical per-query sets
+    # (test-levenshtein.R:57-83); dense duplicate space (:86-103).
+    seqs = rand_seqs(rng, 25, 4, 6, p_n=0.05) + ["ACGT"] * 5
+    codes, lengths = encode_batch(seqs)
+    dev = _neighbor_lists(codes.astype(np.int32), lengths, limit)
+    ref = find_neighbors(seqs, limit)
+    assert dev == [list(map(int, x)) for x in ref]

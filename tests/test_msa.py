@@ -1,0 +1,120 @@
+"""MSA tests: degapped reconstruction, consensus recovery, masking wiring,
+band robustness, and group handling (reference quick_msa semantics)."""
+
+import numpy as np
+import pytest
+
+from sarlacc_tpu.api.consensus import consensus_read_seq
+from sarlacc_tpu.api.msa import multi_read_align
+from sarlacc_tpu.core.encode import SeqBatch
+from sarlacc_tpu.ops.msa import banded_pair_align
+from sarlacc_tpu.refimpl.levenshtein import lev2_int
+
+
+def noisy_copies(rng, ref, n, sub=0.05, indel=0.01):
+    out = []
+    for _ in range(n):
+        s = []
+        for ch in ref:
+            r = rng.random()
+            if r < indel / 2:
+                continue
+            if r < indel:
+                s.append(ch)
+                s.append(ch)
+            s.append(str(rng.choice(list("ACGT"))) if rng.random() < sub else ch)
+        out.append("".join(s))
+    return out
+
+
+def test_msa_reconstruction_and_consensus(rng):
+    ref = "".join(rng.choice(list("ACGT"), 200))
+    seqs = noisy_copies(rng, ref, 7)
+    batch = SeqBatch.from_strings(seqs, ["I" * len(s) for s in seqs])
+    out = multi_read_align(batch, bandwidth=40)
+    aln = out["alignments"][0]
+    assert len(set(map(len, aln))) == 1
+    assert all(a.replace("-", "") == s for a, s in zip(aln, seqs))
+    cons = consensus_read_seq(out)
+    assert lev2_int(cons.seq_strings()[0], ref) <= 4  # near-perfect recovery
+
+
+def test_single_and_empty_groups(rng):
+    batch = SeqBatch.from_strings(["ACGTACGT", "ACGTACGA", "TTTT"])
+    out = multi_read_align(batch, groups=[[2], [], [0, 1]])
+    assert out["alignments"][0] == ["TTTT"]
+    assert out["alignments"][1] == []
+    assert [a.replace("-", "") for a in out["alignments"][2]] == [
+        "ACGTACGT",
+        "ACGTACGA",
+    ]
+
+
+def test_group_length_mismatch():
+    batch = SeqBatch.from_strings(["ACGT", "ACGT"])
+    with pytest.raises(ValueError, match="same"):
+        multi_read_align(batch, groups=np.array([0, 0, 1]))
+
+
+def test_masking_wired(rng):
+    # max_error masks low-quality bases for alignment but the output strings
+    # restore the original bases (the reference documents this but never
+    # wired it; we do).
+    seqs = ["ACGTACGT", "ACGTACGT"]
+    quals = ["II#IIIII", "IIIIIIII"]  # read 1 has one terrible base
+    batch = SeqBatch.from_strings(seqs, quals)
+    out = multi_read_align(batch, max_error=0.01)
+    aln = out["alignments"][0]
+    assert all(a.replace("-", "") == s for a, s in zip(aln, seqs))
+    out_keep = multi_read_align(batch, max_error=0.01, keep_mask=True)
+    assert "N" in out_keep["alignments"][0][0]
+
+
+def test_qualities_column(rng):
+    seqs = ["ACGT", "ACGA"]
+    quals = ["IIII", "JJJJ"]
+    out = multi_read_align(SeqBatch.from_strings(seqs, quals))
+    assert out["qualities"][0] == quals
+    out2 = multi_read_align(SeqBatch.from_strings(seqs))
+    assert "qualities" not in out2
+
+
+def test_banded_pair_align_scores(rng):
+    # Identical sequences: score = match * len; one substitution: +mismatch-match.
+    codes = np.zeros((2, 8), np.int32)
+    codes[0] = [0, 1, 2, 3, 0, 1, 2, 3]
+    codes[1] = codes[0]
+    lens = np.full(2, 8, np.int32)
+    sub = codes.copy()
+    sub[1, 3] = 0
+    scores, paths = banded_pair_align(
+        codes, lens, sub, lens, match=0, mismatch=-1, gap_open=5, gap_ext=1, bandwidth=4
+    )
+    assert scores[0] == 0.0
+    assert scores[1] == -1.0
+    ai, bi = paths[0]
+    assert ai.tolist() == list(range(1, 9))
+    assert bi.tolist() == list(range(1, 9))
+
+
+def test_banded_pair_align_length_difference(rng):
+    # Length difference beyond the raw bandwidth still aligns corner to
+    # corner (our band widening deviation).
+    a = "".join(rng.choice(list("ACGT"), 60))
+    b = a[:20] + a[40:]  # 20-base deletion
+    from sarlacc_tpu.core.encode import encode_batch
+
+    codes, lengths = encode_batch([a, b])
+    scores, paths = banded_pair_align(
+        codes[:1].astype(np.int32),
+        lengths[:1],
+        codes[1:].astype(np.int32),
+        lengths[1:],
+        match=0,
+        mismatch=-1,
+        gap_open=5,
+        gap_ext=1,
+        bandwidth=5,
+    )
+    # One 20-gap: -(5 + 19).
+    assert scores[0] == -(5 + 19)
