@@ -18,7 +18,7 @@ from ..core.encode import SeqBatch, iupac_reference
 from ..core.frame import Frame
 from ..core.scoring import ScoreTables, build_score_tables
 from ..ops.align import dp_align, prepare_reads, prepare_reference
-from ..ops.backtrack import backtrack_maps
+from ..ops.backtrack import qmap_walk_device, query_windows
 
 __all__ = [
     "PreparedAdaptor",
@@ -144,25 +144,30 @@ def align_and_extract(
         need_directions=True,
     )
     scores = np.asarray(scores)[:n].astype(np.float64)
-    dirs = np.asarray(dirs)[:, :n, :]
 
+    # Backtrack on device: the direction tensor never leaves HBM; only the
+    # [N, R+1] mapping arrays transfer.
     rlen = len(adaptor)
-    qmaps = backtrack_maps(dirs, batch.lengths, rlen)
+    om_d, orow_d = qmap_walk_device(dirs, lengths)
+    is_match = np.asarray(om_d)[:n]
+    dp_row = np.asarray(orow_d)[:n]
+    nrows = batch.lengths.astype(np.int64) + 1
 
-    starts = np.zeros(n, dtype=np.int32)
-    ends = np.zeros(n, dtype=np.int32)
+    s0, e0 = query_windows(is_match, dp_row, nrows, 0, rlen)
+    ok = s0 < e0  # empty-sequence guard (adaptor_align.cpp:59)
+    starts = np.where(ok, s0 + 1, 0).astype(np.int32)
+    ends = np.where(ok, e0, 0).astype(np.int32)
+
     nsec = len(adaptor.sec_starts)
     sec_start = np.zeros((nsec, n), dtype=np.int32)
     sec_width = np.zeros((nsec, n), dtype=np.int32)
-    for i, qm in enumerate(qmaps):
-        s, e = qm(0, rlen)
-        if s < e:  # empty-sequence guard (adaptor_align.cpp:59)
-            starts[i] = s + 1
-            ends[i] = e
-        for k in range(nsec):
-            cs, ce = qm(adaptor.sec_starts[k] - 1, adaptor.sec_ends[k], include_gaps=True)
-            sec_start[k, i] = cs + 1
-            sec_width[k, i] = ce - cs
+    for k in range(nsec):
+        cs, ce = query_windows(
+            is_match, dp_row, nrows,
+            adaptor.sec_starts[k] - 1, adaptor.sec_ends[k], include_gaps=True,
+        )
+        sec_start[k] = cs + 1
+        sec_width[k] = ce - cs
 
     out = Frame(score=scores, start=starts, end=ends)
     if nsec:

@@ -34,7 +34,7 @@ import numpy as np
 
 from ..core.encode import SeqBatch
 from ..core.frame import Frame
-from ..ops.msa import banded_pair_align, banded_profile_merge
+from ..ops.msa import banded_pair_align, banded_profile_merge_many
 from ..refimpl.masking import unmask_alignment
 from .umi import quality_mask
 
@@ -57,40 +57,40 @@ def _split_groups(n: int, groups) -> tuple[list[np.ndarray], list | None]:
     ]
 
 
-def _pair_library(codes, lengths, idx, match, mismatch, go, ge, bandwidth):
-    """All-pairs alignments within one group.
+def _pair_libraries(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
+    """All-pairs alignments for ALL groups in one batched device launch.
 
-    Returns (lib, ident) where lib[(x, y)] = (pa, pb, w) arrays for x < y and
-    ident[x, y] = fractional identity.
+    Returns per-group (lib, ident) lists, where lib[(x, y)] = (pa, pb, w)
+    arrays for x < y (local indices) and ident[x, y] = fractional identity.
     """
-    g = idx.size
-    xs, ys = np.triu_indices(g, k=1)
-    if xs.size == 0:
-        return {}, np.ones((g, g))
+    jobs: list[tuple[int, int, int]] = []  # (group #, local x, local y)
+    for gi, idx in enumerate(by_group):
+        g = idx.size
+        xs, ys = np.triu_indices(g, k=1)
+        jobs.extend((gi, int(x), int(y)) for x, y in zip(xs, ys))
+
+    libs = [dict() for _ in by_group]
+    idents = [np.ones((idx.size, idx.size)) for idx in by_group]
+    if not jobs:
+        return libs, idents
+
+    ga = np.asarray([by_group[g][x] for g, x, y in jobs])
+    gb = np.asarray([by_group[g][y] for g, x, y in jobs])
     scores, paths = banded_pair_align(
-        codes[idx[xs]],
-        lengths[idx[xs]],
-        codes[idx[ys]],
-        lengths[idx[ys]],
-        match,
-        mismatch,
-        go,
-        ge,
-        bandwidth,
+        codes[ga], lengths[ga], codes[gb], lengths[gb],
+        match, mismatch, go, ge, bandwidth,
     )
-    lib: dict[tuple[int, int], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    ident = np.ones((g, g))
-    for p, (x, y) in enumerate(zip(xs, ys)):
+    for p, (gi, x, y) in enumerate(jobs):
         pa, pb = paths[p]
         if pa.size:
-            eq = codes[idx[x]][pa - 1] == codes[idx[y]][pb - 1]
+            eq = codes[ga[p]][pa - 1] == codes[gb[p]][pb - 1]
             frac = float(eq.sum()) / pa.size
         else:
             frac = 0.0
         w = np.full(pa.size, frac * 100.0, dtype=np.float32)
-        lib[(int(x), int(y))] = (pa, pb, w)
-        ident[x, y] = ident[y, x] = frac
-    return lib, ident
+        libs[gi][(x, y)] = (pa, pb, w)
+        idents[gi][x, y] = idents[gi][y, x] = frac
+    return libs, idents
 
 
 def _get_lib(lib, x, y):
@@ -208,12 +208,9 @@ class _Profile:
         return cls([m], [np.arange(1, length + 1, dtype=np.int32)])
 
 
-def _merge_profiles(pa: _Profile, pb: _Profile, lib, bandwidth: int) -> _Profile:
+def _merge_cost(pa: _Profile, pb: _Profile, lib, bandwidth: int):
+    """Library-sum column-score plane for one pending merge."""
     la, lb = pa.ncols, pb.ncols
-    if la == 0:
-        return pb
-    if lb == 0:
-        return pa
     diff = lb - la
     lo = min(0, diff) - bandwidth
     hi = max(0, diff) + bandwidth
@@ -238,9 +235,11 @@ def _merge_profiles(pa: _Profile, pb: _Profile, lib, bandwidth: int) -> _Profile
             k = cj - ci - lo
             ok = (k >= 0) & (k < W) & (ci >= 1)
             np.add.at(cost, (ci[ok] - 1, k[ok]), w[ok])
+    return cost, la, lb, lo
 
-    _, (ai, bi) = banded_profile_merge(cost, la, lb, lo)
 
+def _apply_merge(pa: _Profile, pb: _Profile, ai, bi) -> _Profile:
+    la, lb = pa.ncols, pb.ncols
     # Build merged columns.
     cols: list[tuple[int, int]] = []  # (a_col or 0, b_col or 0), 1-based
     ia = ib = 1
@@ -273,44 +272,104 @@ def _merge_profiles(pa: _Profile, pb: _Profile, lib, bandwidth: int) -> _Profile
     return _Profile(pa.members + pb.members, new_c2p)
 
 
-def _msa_group(codes, lengths, idx, match, mismatch, go, ge, bandwidth):
-    g = idx.size
-    if g == 0:
-        return []
+def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
+    """MSA for all groups, batching device launches across groups.
+
+    One launch computes every group's pairwise library; progressive merges
+    run in waves — each wave batches the next pending merge of every active
+    group into a single device call (#waves == deepest guide tree).
+    """
     decode = np.frombuffer(b"ACGTN-", dtype=np.uint8)
-    if g == 1:
-        n = int(lengths[idx[0]])
-        return [decode[codes[idx[0], :n]].tobytes().decode()]
+    results: list[list[str] | None] = [None] * len(by_group)
 
-    lib, ident = _pair_library(
-        codes, lengths, idx, match, mismatch, go, ge, bandwidth
+    active: list[int] = []
+    for gi, idx in enumerate(by_group):
+        g = idx.size
+        if g == 0:
+            results[gi] = []
+        elif g == 1:
+            n = int(lengths[idx[0]])
+            results[gi] = [decode[codes[idx[0], :n]].tobytes().decode()]
+        else:
+            active.append(gi)
+
+    libs, idents = _pair_libraries(
+        codes, lengths, [by_group[gi] for gi in active],
+        match, mismatch, go, ge, bandwidth,
     )
-    lens_local = lengths[idx]
-    lib = _triplet_extension(lib, g, lens_local)
-    merges = _nj_tree(1.0 - ident)
 
-    profiles: dict[int, _Profile] = {
-        m: _Profile.leaf(m, int(lens_local[m])) for m in range(g)
-    }
-    nxt = g
-    for a, b in merges:
-        profiles[nxt] = _merge_profiles(profiles[a], profiles[b], lib, bandwidth)
-        del profiles[a], profiles[b]
-        nxt += 1
-    final = profiles[nxt - 1] if merges else profiles[0]
+    state = {}
+    for pos, gi in enumerate(active):
+        idx = by_group[gi]
+        g = idx.size
+        lens_local = lengths[idx]
+        lib = _triplet_extension(libs[pos], g, lens_local)
+        merges = _nj_tree(1.0 - idents[pos])
+        profiles = {m: _Profile.leaf(m, int(lens_local[m])) for m in range(g)}
+        state[gi] = {"lib": lib, "merges": merges, "at": 0, "profiles": profiles,
+                     "nxt": g}
 
-    # Emit gapped strings in the group's original order.
-    out = [""] * g
-    order = {m: r for r, m in enumerate(final.members)}
-    for m in range(g):
-        r = order[m]
-        c2p = final.col2pos[r]
-        seq = codes[idx[m]]
-        row = np.full(c2p.size, 5, dtype=np.int8)
-        nz = c2p > 0
-        row[nz] = seq[c2p[nz] - 1]
-        out[m] = decode[row].tobytes().decode()
-    return out
+    pending = [gi for gi in active if state[gi]["merges"]]
+    while pending:
+        wave, costs, las, lbs, los = [], [], [], [], []
+        trivial = []  # merges with an empty side need no DP
+        for gi in pending:
+            st = state[gi]
+            a, b = st["merges"][st["at"]]
+            pa, pb = st["profiles"][a], st["profiles"][b]
+            if pa.ncols == 0 or pb.ncols == 0:
+                trivial.append((gi, a, b))
+                continue
+            cost, la, lb, lo = _merge_cost(pa, pb, st["lib"], bandwidth)
+            wave.append((gi, a, b))
+            costs.append(cost)
+            las.append(la)
+            lbs.append(lb)
+            los.append(lo)
+
+        paths = banded_profile_merge_many(costs, las, lbs, los)
+        for (gi, a, b), (ai, bi) in zip(wave, paths):
+            st = state[gi]
+            st["profiles"][st["nxt"]] = _apply_merge(
+                st["profiles"][a], st["profiles"][b], ai, bi
+            )
+            del st["profiles"][a], st["profiles"][b]
+            st["nxt"] += 1
+            st["at"] += 1
+        for gi, a, b in trivial:
+            st = state[gi]
+            pa, pb = st["profiles"][a], st["profiles"][b]
+            merged = pb if pa.ncols == 0 else pa
+            if pa.ncols == 0:
+                merged = _Profile(pa.members + pb.members,
+                                  [np.zeros(pb.ncols, np.int32)] * len(pa.members)
+                                  + pb.col2pos)
+            else:
+                merged = _Profile(pa.members + pb.members,
+                                  pa.col2pos
+                                  + [np.zeros(pa.ncols, np.int32)] * len(pb.members))
+            st["profiles"][st["nxt"]] = merged
+            del st["profiles"][a], st["profiles"][b]
+            st["nxt"] += 1
+            st["at"] += 1
+        pending = [gi for gi in pending if state[gi]["at"] < len(state[gi]["merges"])]
+
+    for gi in active:
+        st = state[gi]
+        idx = by_group[gi]
+        g = idx.size
+        final = st["profiles"][st["nxt"] - 1] if st["merges"] else st["profiles"][0]
+        out = [""] * g
+        order = {m: r for r, m in enumerate(final.members)}
+        for m in range(g):
+            c2p = final.col2pos[order[m]]
+            seq = codes[idx[m]]
+            row = np.full(c2p.size, 5, dtype=np.int8)
+            nz = c2p > 0
+            row[nz] = seq[c2p[nz] - 1]
+            out[m] = decode[row].tobytes().decode()
+        results[gi] = out
+    return results
 
 
 def multi_read_align(
@@ -339,26 +398,26 @@ def multi_read_align(
         codes = reads.codes
     lengths = reads.lengths
 
-    alignments: list[list[str]] = []
-    for idx in by_group:
-        aln = _msa_group(
-            codes,
-            lengths,
-            idx,
-            float(match),
-            float(mismatch),
-            float(gap_opening),
-            float(gap_extension),
-            int(bandwidth),
-        )
-        if use_mask and not keep_mask and len(aln):
-            originals = [
-                reads.codes[i, : int(lengths[i])] for i in idx
+    alignments = _msa_groups(
+        codes,
+        lengths,
+        by_group,
+        float(match),
+        float(mismatch),
+        float(gap_opening),
+        float(gap_extension),
+        int(bandwidth),
+    )
+    if use_mask and not keep_mask:
+        dec = np.frombuffer(b"ACGTN-", dtype=np.uint8)
+        for gi, idx in enumerate(by_group):
+            if not alignments[gi]:
+                continue
+            orig_strs = [
+                dec[reads.codes[i, : int(lengths[i])]].tobytes().decode()
+                for i in idx
             ]
-            dec = np.frombuffer(b"ACGTN-", dtype=np.uint8)
-            orig_strs = [dec[o].tobytes().decode() for o in originals]
-            aln = unmask_alignment(aln, orig_strs)
-        alignments.append(aln)
+            alignments[gi] = unmask_alignment(alignments[gi], orig_strs)
 
     out = Frame(nrow=len(by_group))
     out["alignments"] = alignments

@@ -17,11 +17,106 @@ read's walk is O(L + R) so even 1e5 reads are cheap relative to the DP.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..refimpl.align import QueryMap
 
-__all__ = ["backtrack_map", "backtrack_maps", "backtrack_strings"]
+__all__ = [
+    "backtrack_map",
+    "backtrack_maps",
+    "backtrack_strings",
+    "qmap_walk_device",
+    "query_windows",
+]
+
+
+@jax.jit
+def qmap_walk_device(dirs, lengths):
+    """Batched on-device replay of the template backtrack -> query maps.
+
+    The direction tensor stays in HBM; only the tiny per-reference-position
+    mapping arrays come back to the host (the tunnel to the remote chip
+    moves ~25 MB/s, so shipping the full [R, N, L+1] int16 tensor is the
+    single most expensive thing the pipeline can do).
+
+    Returns (is_match [N, R+1] bool, dp_row [N, R+1] int32), exactly the
+    ``fill_map`` mapping (reference_align.cpp:280-305): position 0 is the
+    initial (False, 0); diag cells record (True, row); left-run cells record
+    (False, row+1); up-runs record nothing.
+    """
+    R, N, L1 = dirs.shape
+    flat = dirs.transpose(1, 0, 2).reshape(N, R * L1)  # [N, R*L1]
+    narr = jnp.arange(N)
+
+    col0 = jnp.full(N, R, jnp.int32)
+    row0 = jnp.asarray(lengths, jnp.int32)
+    rc0 = jnp.zeros(N, jnp.int32)
+    om0 = jnp.zeros((N, R + 2), jnp.bool_)
+    or0 = jnp.zeros((N, R + 2), jnp.int32)
+
+    def cond(carry):
+        col, row, rc, om, orow, it = carry
+        return jnp.logical_and(jnp.any(col > 0), it < R + L1 + 4)
+
+    def step(carry):
+        col, row, rc, om, orow, it = carry
+        active = col > 0
+        idx = jnp.clip((col - 1) * L1 + row, 0, R * L1 - 1)
+        d = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0].astype(jnp.int32)
+
+        up = active & (rc == 0) & (row > 0) & (d < 0)
+        diag = active & (rc == 0) & ~up & (d == 0)
+        left_new = active & (rc == 0) & ~up & (d > 0)
+        left_cont = active & (rc > 0)
+        write = diag | left_new | left_cont
+
+        wcol = jnp.where(write, col, R + 1)  # R+1 slot is a scratch bin
+        wmatch = diag
+        wrow = jnp.where(diag, row, row + 1)
+        om = om.at[narr, wcol].set(wmatch)
+        orow = orow.at[narr, wcol].set(wrow)
+
+        row = jnp.where(up, row + d, jnp.where(diag, row - 1, row))
+        rc = jnp.where(left_new, d - 1, jnp.where(left_cont, rc - 1, rc))
+        col = jnp.where(diag | left_new | left_cont, col - 1, col)
+        return col, row, rc, om, orow, it + 1
+
+    _, _, _, om, orow, _ = jax.lax.while_loop(
+        cond, step, (col0, row0, rc0, om0, or0, jnp.int32(0))
+    )
+    return om[:, : R + 1], orow[:, : R + 1]
+
+
+def query_windows(
+    is_match: np.ndarray,
+    dp_row: np.ndarray,
+    nrows: np.ndarray,
+    ref_start: int,
+    ref_end: int,
+    include_gaps: bool = False,
+):
+    """Vectorized ``querymap::operator()`` over all reads
+    (reference_align.cpp:307-351).  Returns (starts, ends), 0-based."""
+    R = is_match.shape[1] - 1
+    if R == 0:
+        z = np.zeros(is_match.shape[0], np.int64)
+        return z, z
+    if not include_gaps:
+        curstart = dp_row[:, ref_start + 1].astype(np.int64)
+        curend = dp_row[:, ref_end].astype(np.int64) + is_match[:, ref_end]
+        return curstart - 1, curend - 1
+    if ref_start == 0:
+        curstart = np.ones(is_match.shape[0], np.int64)
+    else:
+        curstart = dp_row[:, ref_start].astype(np.int64) + is_match[:, ref_start]
+    e2 = ref_end + 1
+    if e2 == R + 1:
+        curend = np.asarray(nrows, np.int64)
+    else:
+        curend = dp_row[:, e2].astype(np.int64)
+    return curstart - 1, curend - 1
 
 
 def backtrack_map(dirs_nr: np.ndarray, rlen: int) -> QueryMap:

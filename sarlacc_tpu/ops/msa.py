@@ -153,6 +153,69 @@ def _banded_pair_kernel(
     return scores, dirs
 
 
+@jax.jit
+def _pair_walk_kernel(dirs, lens_a, lens_b, lo):
+    """Batched on-device Gotoh walk over the banded direction tensor.
+
+    Ships only the matched (ai, bi) position pairs back to the host — the
+    [rows, P, W] tensor itself stays in HBM (the remote-chip tunnel moves
+    ~25 MB/s, so transferring it dominates everything else).
+
+    Returns (ai [P, rows+1] int32, bi [P, rows+1] int32, cnt [P]) with the
+    matched pairs stored in reverse path order; positions are 1-based.
+    """
+    rows, P, W = dirs.shape
+    flat = dirs.transpose(1, 0, 2).reshape(P, rows * W)
+    parr = jnp.arange(P)
+    cap = rows + 1
+
+    i0 = jnp.asarray(lens_a, jnp.int32)
+    j0 = jnp.asarray(lens_b, jnp.int32)
+    st0 = jnp.zeros(P, jnp.int32)
+    cnt0 = jnp.zeros(P, jnp.int32)
+    ai0 = jnp.zeros((P, cap + 1), jnp.int32)
+    bi0 = jnp.zeros((P, cap + 1), jnp.int32)
+
+    max_steps = int(rows) + int(W) + int(rows)  # la + lb bound
+
+    def cond(c):
+        i, j, st, cnt, ai, bi, it = c
+        return jnp.logical_and(jnp.any(jnp.logical_and(i > 0, j > 0)), it < max_steps)
+
+    def step(c):
+        i, j, st, cnt, ai, bi, it = c
+        active = jnp.logical_and(i > 0, j > 0)
+        k = jnp.clip(j - i - lo, 0, W - 1)
+        idx = jnp.clip((i - 1) * W + k, 0, rows * W - 1)
+        d = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0].astype(jnp.int32)
+
+        stn = jnp.where(st == 0, d & 3, st)
+        diag = active & (stn == 0)
+        horiz = active & (stn == 1)
+        vert = active & (stn == 2)
+
+        wslot = jnp.where(diag, cnt, cap)
+        ai = ai.at[parr, wslot].set(i)
+        bi = bi.at[parr, wslot].set(j)
+        cnt = cnt + diag
+
+        hext = (d >> 2) & 1
+        vext = (d >> 3) & 1
+        st = jnp.where(
+            diag, 0,
+            jnp.where(horiz, jnp.where(hext == 1, 1, 0),
+                      jnp.where(vert, jnp.where(vext == 1, 2, 0), st)),
+        )
+        i = i - (diag | vert)
+        j = j - (diag | horiz)
+        return i, j, st, cnt, ai, bi, it + 1
+
+    _, _, _, cnt, ai, bi, _ = jax.lax.while_loop(
+        cond, step, (i0, j0, st0, cnt0, ai0, bi0, jnp.int32(0))
+    )
+    return ai[:, :cap], bi[:, :cap], cnt
+
+
 def banded_pair_align(
     codes_a: np.ndarray,
     lens_a: np.ndarray,
@@ -222,14 +285,19 @@ def banded_pair_align(
         rows=rows_b,
         width=W_b,
     )
+    # Walk on device; transfer only the matched position pairs.
+    ai, bi, cnt = _pair_walk_kernel(
+        dirs, jnp.asarray(lens_a_p), jnp.asarray(lens_b_p), jnp.asarray(lo_p)
+    )
     scores = np.asarray(scores, np.float64)[:P]
-    dirs = np.asarray(dirs)[:, :P, :]
+    ai = np.asarray(ai)[:P]
+    bi = np.asarray(bi)[:P]
+    cnt = np.asarray(cnt)[:P]
 
     paths = []
     for p in range(P):
-        paths.append(
-            _walk_pair(dirs[:, p, :], int(lens_a[p]), int(lens_b[p]), int(lo[p]))
-        )
+        c = int(cnt[p])
+        paths.append((ai[p, :c][::-1].copy(), bi[p, :c][::-1].copy()))
     return scores, paths
 
 
@@ -266,7 +334,7 @@ def _walk_pair(dirs_rw: np.ndarray, la: int, lb: int, lo: int):
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "width"))
-def _profile_merge_kernel(cost, lens_a, lens_b, lo, rows: int, width: int):
+def _profile_merge_kernel(cost, lens_a, lens_b, lo, kmax, rows: int, width: int):
     """Gapless maximal-weighted-trace DP over banded column-score planes.
 
     cost: [P, rows, W] float — cost[p, i-1, k] is the column score of
@@ -277,12 +345,13 @@ def _profile_merge_kernel(cost, lens_a, lens_b, lo, rows: int, width: int):
     W = width
     karr = jnp.arange(W, dtype=jnp.int32)[None, :]
 
-    s0 = jnp.where(lo[:, None] + karr >= 0, 0.0, NEG)
+    in_band = karr <= kmax[:, None]
+    s0 = jnp.where(jnp.logical_and(lo[:, None] + karr >= 0, in_band), 0.0, NEG)
 
     def row(carry, i):
         S = carry
         j = i + lo[:, None] + karr
-        valid = jnp.logical_and(j >= 0, j <= lens_b[:, None])
+        valid = jnp.logical_and(jnp.logical_and(j >= 0, j <= lens_b[:, None]), in_band)
         alive = i <= lens_a[:, None]
 
         c = jax.lax.dynamic_index_in_dim(cost, i - 1, 1, keepdims=False)  # [P, W]
@@ -302,27 +371,13 @@ def _profile_merge_kernel(cost, lens_a, lens_b, lo, rows: int, width: int):
     return scores, dirs
 
 
-def banded_profile_merge(cost: np.ndarray, la: int, lb: int, lo: int):
-    """One merge (P=1 convenience wrapper): returns matched column pairs.
-
-    ``cost[i-1, k]`` scores aligning A column i with B column j=i+lo+k.
-    """
-    rows, W = cost.shape
-    scores, dirs = _profile_merge_kernel(
-        jnp.asarray(cost[None], jnp.float32),
-        jnp.asarray([la], jnp.int32),
-        jnp.asarray([lb], jnp.int32),
-        jnp.asarray([lo], jnp.int32),
-        rows=rows,
-        width=W,
-    )
-    dirs = np.asarray(dirs)[:, 0, :]
-    # Walk: at (i, j) read choice; horiz moves j-1 (k-1), vert i-1 (k+1).
+def _walk_merge(dirs_rw: np.ndarray, la: int, lb: int, lo: int):
+    """Walk one merge's choice matrix; horiz moves j-1 (k-1), vert i-1 (k+1)."""
     ai, bi = [], []
     i, j = la, lb
     while i > 0 and j > 0:
         k = j - i - lo
-        c = int(dirs[i - 1, k])
+        c = int(dirs_rw[i - 1, k])
         if c == 0:
             ai.append(i)
             bi.append(j)
@@ -332,7 +387,58 @@ def banded_profile_merge(cost: np.ndarray, la: int, lb: int, lo: int):
             j -= 1
         else:
             i -= 1
-    return float(np.asarray(scores)[0]), (
-        np.asarray(ai[::-1], np.int32),
-        np.asarray(bi[::-1], np.int32),
+    return np.asarray(ai[::-1], np.int32), np.asarray(bi[::-1], np.int32)
+
+
+def banded_profile_merge_many(costs, las, lbs, los):
+    """Batch of profile merges (one device launch, shape-bucketed).
+
+    ``costs[p]`` is [la_p, W_p] float32; returns list of (ai, bi) matched
+    column arrays per merge.
+    """
+    P = len(costs)
+    if P == 0:
+        return []
+
+    def _bkt(x, base):
+        b = base
+        while b < x:
+            b *= 2
+        return b
+
+    rows_b = _bkt(max(int(l) for l in las), 64)
+    W_b = _bkt(max(c.shape[1] for c in costs), 64)
+    Pp = _bkt(P, 4)
+
+    cost = np.full((Pp, rows_b, W_b), NEG, np.float32)
+    for p, c in enumerate(costs):
+        cost[p, : c.shape[0], : c.shape[1]] = c
+    la = np.zeros(Pp, np.int32)
+    la[:P] = las
+    lb = np.zeros(Pp, np.int32)
+    lb[:P] = lbs
+    lo = np.zeros(Pp, np.int32)
+    lo[:P] = los
+
+    kmax = np.zeros(Pp, np.int32)
+    kmax[:P] = [c.shape[1] - 1 for c in costs]
+    _, dirs = _profile_merge_kernel(
+        jnp.asarray(cost),
+        jnp.asarray(la),
+        jnp.asarray(lb),
+        jnp.asarray(lo),
+        jnp.asarray(kmax),
+        rows=rows_b,
+        width=W_b,
     )
+    dirs = np.asarray(dirs)
+    return [
+        _walk_merge(dirs[:, p, :], int(las[p]), int(lbs[p]), int(los[p]))
+        for p in range(P)
+    ]
+
+
+def banded_profile_merge(cost: np.ndarray, la: int, lb: int, lo: int):
+    """One merge (P=1 convenience wrapper): returns (score, matched pairs)."""
+    out = banded_profile_merge_many([cost], [la], [lb], [lo])
+    return 0.0, out[0]
