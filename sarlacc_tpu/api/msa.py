@@ -105,7 +105,17 @@ def _get_lib(lib, x, y):
 
 
 def _triplet_extension(lib, g, lengths_local):
-    """One round of T-Coffee consistency extension (min-weight composition)."""
+    """One round of T-Coffee consistency extension (min-weight composition).
+
+    Uses the native C++ path when available (sarlacc_tpu.native); this
+    Python implementation is the fallback and the parity oracle.
+    """
+    from ..native import triplet_extend_native
+
+    native = triplet_extend_native(int(g), lib)
+    if native is not None:
+        return native
+
     extra: dict[tuple[int, int], list] = {}
     for z in range(g):
         for x in range(g):
@@ -232,9 +242,12 @@ def _merge_cost(pa: _Profile, pb: _Profile, lib, bandwidth: int):
             p2c_b[pb.col2pos[mj][nzb]] = np.flatnonzero(nzb).astype(np.int32) + 1
             ci = p2c_a[qa]  # 1-based A columns
             cj = p2c_b[qb]
-            k = cj - ci - lo
-            ok = (k >= 0) & (k < W) & (ci >= 1)
-            np.add.at(cost, (ci[ok] - 1, k[ok]), w[ok])
+            from ..native import accumulate_cost_native
+
+            if not accumulate_cost_native(ci, cj, w, lo, la, W, cost):
+                k = cj - ci - lo
+                ok = (k >= 0) & (k < W) & (ci >= 1)
+                np.add.at(cost, (ci[ok] - 1, k[ok]), w[ok])
     return cost, la, lb, lo
 
 

@@ -137,6 +137,11 @@ def umi_group(
                 [m2 for m2 in nb2[q] if m2 in sorted1[q]] for q in range(curn)
             ]
 
-        for cl in cluster_umis(storage):
+        from ..native import greedy_cluster_native
+
+        clusters = greedy_cluster_native(storage)
+        if clusters is None:
+            clusters = cluster_umis(storage)
+        for cl in clusters:
             output.append(g[np.asarray(cl, dtype=np.int64)])
     return output

@@ -1,0 +1,190 @@
+"""Native host library: on-demand g++ build + ctypes bindings.
+
+The shared object is compiled once per source hash into
+``~/.cache/sarlacc_tpu`` (or ``SARLACC_NATIVE_CACHE``); if no compiler is
+available every entry point reports unavailable and callers fall back to the
+Python implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["get_lib", "native_available", "greedy_cluster_native", "triplet_extend_native", "accumulate_cost_native"]
+
+_SRC = os.path.join(os.path.dirname(__file__), "msa_host.cpp")
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+
+def _build() -> ctypes.CDLL | None:
+    cache = os.environ.get(
+        "SARLACC_NATIVE_CACHE", os.path.expanduser("~/.cache/sarlacc_tpu")
+    )
+    os.makedirs(cache, exist_ok=True)
+    with open(_SRC, "rb") as fh:
+        tag = hashlib.sha256(fh.read()).hexdigest()[:16]
+    so = os.path.join(cache, f"libsarlacc_host_{tag}.so")
+    if not os.path.exists(so):
+        tmp = so + ".tmp"
+        cmd = [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            _SRC, "-o", tmp,
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        except Exception:
+            return None
+        os.replace(tmp, so)
+    try:
+        return ctypes.CDLL(so)
+    except OSError:
+        return None
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    if _LIB is None and not _TRIED:
+        with _LOCK:
+            if _LIB is None and not _TRIED:
+                _LIB = _build()
+                _TRIED = True
+                if _LIB is not None:
+                    _declare(_LIB)
+    return _LIB
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.greedy_cluster.restype = ctypes.c_int64
+    lib.greedy_cluster.argtypes = [i32p, i64p, ctypes.c_int64, i32p, i64p]
+    lib.triplet_extend.restype = ctypes.c_int64
+    lib.triplet_extend.argtypes = [
+        ctypes.c_int32, i32p, i32p, ctypes.c_int64, i64p, i32p, i32p, f32p,
+        i32p, i32p, i64p, i32p, i32p, f32p, ctypes.c_int64,
+    ]
+    lib.accumulate_cost.restype = None
+    lib.accumulate_cost.argtypes = [
+        i32p, i32p, f32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, f32p,
+    ]
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def greedy_cluster_native(storage: list) -> list[list[int]] | None:
+    """C++ greedy clustering; returns None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(storage)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    for i, s in enumerate(storage):
+        offsets[i + 1] = offsets[i] + len(s)
+    flat = np.asarray(
+        [int(v) for s in storage for v in s], dtype=np.int32
+    )
+    if flat.size == 0 and n > 0:
+        flat = np.zeros(1, dtype=np.int32)
+    out_members = np.zeros(max(n, 1), dtype=np.int32)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    ncl = lib.greedy_cluster(
+        _ptr(flat, ctypes.c_int32),
+        _ptr(offsets, ctypes.c_int64),
+        n,
+        _ptr(out_members, ctypes.c_int32),
+        _ptr(out_offsets, ctypes.c_int64),
+    )
+    if ncl == -1:
+        raise ValueError("zero length read group")
+    if ncl == -2:
+        raise ValueError("single-read groups should contain only the read itself")
+    return [
+        out_members[out_offsets[c] : out_offsets[c + 1]].tolist()
+        for c in range(int(ncl))
+    ]
+
+
+def triplet_extend_native(g: int, lib_entries: dict):
+    """C++ triplet extension; lib_entries[(x, y)] = (pa, pb, w) arrays.
+
+    Returns the merged dict or None if unavailable.
+    """
+    clib = get_lib()
+    if clib is None:
+        return None
+    pairs = sorted(lib_entries)
+    npairs = len(pairs)
+    if npairs == 0:
+        return {}
+    px = np.asarray([p[0] for p in pairs], np.int32)
+    py = np.asarray([p[1] for p in pairs], np.int32)
+    off = np.zeros(npairs + 1, np.int64)
+    for i, p in enumerate(pairs):
+        off[i + 1] = off[i] + lib_entries[p][0].size
+    total = int(off[-1])
+    pa = np.concatenate([lib_entries[p][0] for p in pairs]).astype(np.int32) if total else np.zeros(1, np.int32)
+    pb = np.concatenate([lib_entries[p][1] for p in pairs]).astype(np.int32) if total else np.zeros(1, np.int32)
+    w = np.concatenate([lib_entries[p][2] for p in pairs]).astype(np.float32) if total else np.zeros(1, np.float32)
+
+    cap = total * 4 + 1024
+    while True:
+        out_px = np.zeros(g * g, np.int32)
+        out_py = np.zeros(g * g, np.int32)
+        out_off = np.zeros(g * g + 1, np.int64)
+        out_pa = np.zeros(cap, np.int32)
+        out_pb = np.zeros(cap, np.int32)
+        out_w = np.zeros(cap, np.float32)
+        rv = clib.triplet_extend(
+            g,
+            _ptr(px, ctypes.c_int32), _ptr(py, ctypes.c_int32), npairs,
+            _ptr(off, ctypes.c_int64), _ptr(pa, ctypes.c_int32),
+            _ptr(pb, ctypes.c_int32), _ptr(w, ctypes.c_float),
+            _ptr(out_px, ctypes.c_int32), _ptr(out_py, ctypes.c_int32),
+            _ptr(out_off, ctypes.c_int64), _ptr(out_pa, ctypes.c_int32),
+            _ptr(out_pb, ctypes.c_int32), _ptr(out_w, ctypes.c_float), cap,
+        )
+        if rv < 0:
+            cap = int(-rv) + 1024
+            continue
+        pr = int(rv >> 40)
+        at = int(rv & ((1 << 40) - 1))
+        out = {}
+        for r in range(pr):
+            s, e = int(out_off[r]), int(out_off[r + 1])
+            out[(int(out_px[r]), int(out_py[r]))] = (
+                out_pa[s:e].copy(),
+                out_pb[s:e].copy(),
+                out_w[s:e].copy(),
+            )
+        return out
+
+
+def accumulate_cost_native(ci, cj, w, lo, la, width, cost) -> bool:
+    lib = get_lib()
+    if lib is None:
+        return False
+    ci = np.ascontiguousarray(ci, np.int32)
+    cj = np.ascontiguousarray(cj, np.int32)
+    w = np.ascontiguousarray(w, np.float32)
+    lib.accumulate_cost(
+        _ptr(ci, ctypes.c_int32), _ptr(cj, ctypes.c_int32),
+        _ptr(w, ctypes.c_float), ci.size,
+        int(lo), int(la), int(width), _ptr(cost, ctypes.c_float),
+    )
+    return True
