@@ -96,9 +96,29 @@ def align_scores_only(
     gap_extension: float,
     pad_n: int | None = None,
 ) -> np.ndarray:
-    """Batch fitting-mode scores (src/adaptor_align.cpp:79-110)."""
+    """Batch fitting-mode scores (src/adaptor_align.cpp:79-110).
+
+    On TPU this takes the VMEM-resident Pallas kernel (the GCUPS roofline
+    path used by tuning/thresholding); elsewhere the XLA scan.
+    """
+    from ..ops.pallas_align import fit_scores_pallas, pallas_available
+
     padded, n = _pad_batch(batch, pad_n)
     codes, qidx, lengths = prepare_reads(padded, adaptor.tables)
+    if pallas_available():
+        scores = fit_scores_pallas(
+            codes,
+            qidx,
+            lengths,
+            adaptor.modes,
+            adaptor.matched,
+            adaptor.match_tab,
+            adaptor.mismatch_tab,
+            float(gap_opening),
+            float(gap_extension),
+            local=True,
+        )
+        return np.asarray(scores)[:n].astype(np.float64)
     scores, _ = dp_align(
         codes,
         qidx,

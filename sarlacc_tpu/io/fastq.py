@@ -56,32 +56,110 @@ def _iter_records(path: str) -> Iterator[tuple[str, str, str]]:
             yield header[1:].split()[0] if header[1:] else "", seq, qual
 
 
-def stream_fastq(
-    path: str, chunk_size: int = 100_000, pad_to: int | None = None
-) -> Iterator[SeqBatch]:
-    """Yield SeqBatch chunks of at most ``chunk_size`` reads."""
-    names: list[str] = []
-    seqs: list[str] = []
-    quals: list[str] = []
-    for name, seq, qual in _iter_records(path):
-        names.append(name)
-        seqs.append(seq)
-        quals.append(qual)
-        if len(seqs) >= chunk_size:
-            yield SeqBatch.from_strings(seqs, quals, names, pad_to=pad_to)
-            names, seqs, quals = [], [], []
-    if seqs:
-        yield SeqBatch.from_strings(seqs, quals, names, pad_to=pad_to)
+def _batch_from_bytes(buf: bytes, pad_to: int | None = None) -> SeqBatch:
+    """Vectorized FASTQ block -> SeqBatch (no per-line Python loop).
+
+    The block must contain complete 4-line records.
+    """
+    from ..core.encode import GAP_CODE, _ENC
+
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if arr.size == 0:
+        return SeqBatch.from_strings([], [], [])
+    nl = np.flatnonzero(arr == 10)
+    if arr[-1] != 10:
+        nl = np.concatenate([nl, [arr.size]])
+    nlines = nl.size
+    if arr[0] != ord("@"):
+        raise ValueError(f"malformed FASTQ header line: {buf[:int(nl[0])]!r}")
+    if nlines % 4:
+        raise ValueError("malformed FASTQ: record truncated")
+    line_starts = np.concatenate([[0], nl[:-1] + 1])
+    line_ends = nl.copy()
+    # Tolerate \r\n.
+    crlf = (line_ends > line_starts) & (arr[np.minimum(line_ends - 1, arr.size - 1)] == 13)
+    line_ends = line_ends - crlf
+
+    n = nlines // 4
+    hs, ss, ps, qs = (line_starts[k::4] for k in range(4))
+    he, se, _, qe = (line_ends[k::4] for k in range(4))
+    if n and (arr[hs] != ord("@")).any():
+        raise ValueError("malformed FASTQ header line")
+    if n and (arr[ps] != ord("+")).any():
+        raise ValueError("malformed FASTQ record: missing '+' line")
+    seq_lens = (se - ss).astype(np.int64)
+    qual_lens = (qe - qs).astype(np.int64)
+    if (seq_lens != qual_lens).any():
+        raise ValueError("FASTQ quality and sequence lengths differ")
+
+    width = int(pad_to if pad_to is not None else (seq_lens.max() if n else 0))
+    codes = np.full((n, width), GAP_CODE, dtype=np.int8)
+    quals = np.zeros((n, width), dtype=np.uint8)
+    total = int(seq_lens.sum())
+    if total:
+        rows = np.repeat(np.arange(n), seq_lens)
+        cols = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(seq_lens)[:-1]]), seq_lens
+        )
+        src_seq = np.repeat(ss, seq_lens) + cols
+        src_qual = np.repeat(qs, seq_lens) + cols
+        enc = _ENC[arr[src_seq]]
+        if enc.min(initial=0) < 0:
+            bad = chr(int(arr[src_seq][np.argmin(enc)]))
+            raise ValueError(f"unrecognised base {bad!r} in sequence")
+        codes[rows, cols] = enc
+        quals[rows, cols] = arr[src_qual]
+
+    mv = memoryview(buf)
+    names = [
+        bytes(mv[int(s) + 1 : int(e)]).split()[0].decode() if e > s + 1 else ""
+        for s, e in zip(hs, he)
+    ]
+    return SeqBatch(codes, seq_lens.astype(np.int32), quals, names)
 
 
 def read_fastq(path: str, pad_to: int | None = None) -> SeqBatch:
-    """Read an entire FASTQ into one batch."""
-    names, seqs, quals = [], [], []
-    for name, seq, qual in _iter_records(path):
-        names.append(name)
-        seqs.append(seq)
-        quals.append(qual)
-    return SeqBatch.from_strings(seqs, quals, names, pad_to=pad_to)
+    """Read an entire FASTQ into one batch (vectorized parser)."""
+    with _open(path, "rb") as fh:
+        buf = fh.read()
+    return _batch_from_bytes(buf, pad_to=pad_to)
+
+
+def stream_fastq(
+    path: str, chunk_size: int = 100_000, pad_to: int | None = None
+) -> Iterator[SeqBatch]:
+    """Yield SeqBatch chunks of at most ``chunk_size`` reads.
+
+    Reads byte blocks and splits on record boundaries, so parsing stays
+    vectorized while memory is bounded by the chunk size.
+    """
+    approx_bytes = 64 * 1024 * 1024
+    with _open(path, "rb") as fh:
+        pending = b""
+        while True:
+            block = fh.read(approx_bytes)
+            if not block:
+                break
+            pending += block
+            # Find the last complete 4-line record boundary.
+            count = pending.count(b"\n")
+            keep_lines = (count // 4) * 4
+            if keep_lines == 0:
+                continue
+            # Locate the byte offset after the keep_lines-th newline.
+            arr = np.frombuffer(pending, dtype=np.uint8)
+            nl = np.flatnonzero(arr == 10)
+            cut = int(nl[keep_lines - 1]) + 1
+            batch = _batch_from_bytes(pending[:cut])
+            pending = pending[cut:]
+            for at in range(0, len(batch), chunk_size):
+                yield batch.take(
+                    np.arange(at, min(at + chunk_size, len(batch)))
+                )
+        if pending.strip():
+            batch = _batch_from_bytes(pending)
+            for at in range(0, len(batch), chunk_size):
+                yield batch.take(np.arange(at, min(at + chunk_size, len(batch))))
 
 
 def sample_fastq(path: str, n: int, seed: int = 0) -> SeqBatch:

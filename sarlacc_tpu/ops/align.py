@@ -71,21 +71,23 @@ def prepare_reads(batch, tables):
     """SeqBatch -> (codes i32 [N,L], qidx i32 [N,L], lengths i32 [N]).
 
     Padded positions get quality index 0; they never reach live DP cells
-    because row i only consumes read positions < i <= length.
+    because row i only consumes read positions < i <= length.  Codes and
+    quality indices travel as int8 (values <= 93) — host->device transfer to
+    the remote chip is the scarce resource — and are upcast on device.
     """
-    codes = jnp.asarray(batch.codes, dtype=jnp.int32)
+    codes = jnp.asarray(batch.codes, dtype=jnp.int8)
     if batch.quals is not None:
-        qidx = np.zeros(batch.codes.shape, dtype=np.int32)
+        qidx = np.zeros(batch.codes.shape, dtype=np.int8)
         width = batch.codes.shape[1]
         if len(batch):
             pos = np.arange(width)[None, :]
             valid = pos < batch.lengths[:, None]
             q = np.where(valid, batch.quals, tables.offset)
-            qidx = np.asarray(tables.qual_index(q), dtype=np.int32)
+            qidx = np.asarray(tables.qual_index(q), dtype=np.int8)
         qidx = jnp.asarray(qidx)
     else:
         # Maximum quality: last table entry (minimum error).
-        qidx = jnp.full(batch.codes.shape, tables.navail - 1, dtype=jnp.int32)
+        qidx = jnp.full(batch.codes.shape, tables.navail - 1, dtype=jnp.int8)
     return codes, qidx, jnp.asarray(batch.lengths, dtype=jnp.int32)
 
 
@@ -117,6 +119,8 @@ def dp_align(
 
     Returns (scores [N], dirs [R, N, L+1] int16 or None).
     """
+    codes = codes.astype(jnp.int32)
+    qidx = qidx.astype(jnp.int32)
     dtype = match_tab.dtype
     N, L = codes.shape
     R = modes.shape[0]

@@ -116,7 +116,12 @@ def _encode_matched(matched: np.ndarray) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("rlen", "l1", "local", "interpret"))
-def _launch(modes, matched_enc, scalars, costm, costmm, codes, rlen, l1, local, interpret):
+def _launch(modes, matched_enc, scalars, match_tab, mismatch_tab, qidx_k, codes_k, rlen, l1, local, interpret):
+    # Cost tables are gathered ON DEVICE — the int8 qidx/codes planes are the
+    # only per-call host->device transfer (the remote tunnel is slow).
+    costm = jnp.take(match_tab, qidx_k.astype(jnp.int32), axis=1)  # [4, l1, n]
+    costmm = jnp.take(mismatch_tab, qidx_k.astype(jnp.int32), axis=1)
+    codes = codes_k.astype(jnp.int32)
     n_lanes = codes.shape[1]
     grid = (n_lanes // LANES,)
     kern = functools.partial(_kernel, rlen=rlen, l1=l1, local=local)
@@ -166,27 +171,22 @@ def fit_scores_pallas(
     l1 = ((l1 + 7) // 8) * 8
     n_pad = ((N + LANES - 1) // LANES) * LANES
 
-    mt = np.asarray(match_tab, np.float32)
-    mmt = np.asarray(mismatch_tab, np.float32)
-    # cost[m, i, n]: row i holds the cost of read n position i-1.
-    qid = np.zeros((n_pad, L), np.int32)
-    qid[:N] = qidx
-    cd = np.full((n_pad, L), 5, np.int32)
-    cd[:N] = codes
-    costm = np.zeros((4, l1, n_pad), np.float32)
-    costmm = np.zeros((4, l1, n_pad), np.float32)
-    costm[:, 1 : L + 1, :] = mt[:, qid].transpose(0, 2, 1)
-    costmm[:, 1 : L + 1, :] = mmt[:, qid].transpose(0, 2, 1)
-    codes_k = np.zeros((l1, n_pad), np.int32)
-    codes_k[1 : L + 1] = cd.T
+    # Row i of the kernel planes holds read position i-1; int8 keeps the
+    # per-call transfer tiny (qidx <= 93, codes <= 5).
+    qidx_k = np.zeros((l1, n_pad), np.int8)
+    qidx_k[1 : L + 1, :N] = np.asarray(qidx, np.int8).T
+    codes_k = np.full((l1, n_pad), 5, np.int8)
+    codes_k[0] = 0
+    codes_k[1 : L + 1, :N] = np.asarray(codes, np.int8).T
 
     scalars = jnp.asarray([float(gap_opening), float(gap_extension)], jnp.float32)
     out = _launch(
         jnp.asarray(np.asarray(modes, np.int32)),
         jnp.asarray(_encode_matched(np.asarray(matched))),
         scalars,
-        jnp.asarray(costm),
-        jnp.asarray(costmm),
+        jnp.asarray(match_tab, jnp.float32),
+        jnp.asarray(mismatch_tab, jnp.float32),
+        jnp.asarray(qidx_k),
         jnp.asarray(codes_k),
         rlen=R,
         l1=l1,
