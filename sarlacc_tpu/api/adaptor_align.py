@@ -76,11 +76,24 @@ def adaptor_align(
     for batch in chunks:
         nchunks += 1
         front, back = batch.front_and_back(tolerance)
+        nb = len(batch)
 
-        cur_starts = align_and_extract(a1, front, gap_opening, gap_extension, pad_n)
-        cur_ends = align_and_extract(a2, back, gap_opening, gap_extension, pad_n)
-        cur_rc_starts = align_and_extract(a1, back, gap_opening, gap_extension, pad_n)
-        cur_rc_ends = align_and_extract(a2, front, gap_opening, gap_extension, pad_n)
+        # Both orientations of one adaptor share the reference, so they run
+        # as ONE device launch on the stacked batch (halves launch count).
+        fb = SeqBatch.concat([front, back])
+        bf = SeqBatch.concat([back, front])
+        res1 = align_and_extract(
+            a1, fb, gap_opening, gap_extension, 2 * pad_n if pad_n else None
+        )
+        res2 = align_and_extract(
+            a2, bf, gap_opening, gap_extension, 2 * pad_n if pad_n else None
+        )
+        lo = np.arange(nb)
+        hi = np.arange(nb, 2 * nb)
+        cur_starts = res1.take(lo)
+        cur_rc_starts = res1.take(hi)
+        cur_ends = res2.take(lo)
+        cur_rc_ends = res2.take(hi)
 
         is_reverse, _ = resolve_strand(
             cur_starts["score"],

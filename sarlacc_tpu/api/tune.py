@@ -34,13 +34,16 @@ def scramble_input(batch: SeqBatch, rng: np.random.Generator) -> SeqBatch:
 
 
 def _four_scores(a1, a2, front, back, go, ge, pad_n=None):
-    """START/END/RSTART/REND score vectors (R/tuneAlignment.R:99-112)."""
-    return (
-        align_scores_only(a1, front, go, ge, pad_n),
-        align_scores_only(a2, back, go, ge, pad_n),
-        align_scores_only(a1, back, go, ge, pad_n),
-        align_scores_only(a2, front, go, ge, pad_n),
-    )
+    """START/END/RSTART/REND score vectors (R/tuneAlignment.R:99-112).
+
+    Each adaptor's two orientations stack into one device launch.
+    """
+    n = len(front)
+    fb = SeqBatch.concat([front, back])
+    bf = SeqBatch.concat([back, front])
+    s1 = align_scores_only(a1, fb, go, ge, 2 * pad_n if pad_n else None)
+    s2 = align_scores_only(a2, bf, go, ge, 2 * pad_n if pad_n else None)
+    return s1[:n], s2[:n], s1[n:], s2[n:]
 
 
 def tied_overlap(real: np.ndarray, fake: np.ndarray) -> float:
