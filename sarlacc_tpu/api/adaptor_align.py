@@ -3,8 +3,8 @@
 TPU re-design of the reference's main entry point (R/adaptorAlign.R:7-77):
 the FASTQ streams in fixed-size chunks; per chunk the first/last
 ``tolerance`` bases (back reverse-complemented) are batch-aligned against
-adaptor1 and adaptor2 in both orientations — four device launches over the
-whole chunk instead of four C++ calls per worker shard — the strand is
+adaptor1 and adaptor2 in both orientations — two stacked device launches
+over the whole chunk instead of four C++ calls per worker shard — the strand is
 resolved by clamped combined score, rows are swapped into canonical
 orientation, and adaptor2 coordinates are flipped onto the forward strand.
 

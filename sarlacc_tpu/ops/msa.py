@@ -22,7 +22,8 @@ onto device:
   trace), batched over merges.
 
 Backtrack information is standard Gotoh: 2-bit state choice plus gap-extend
-bits, walked on the host.
+bits, walked on device (:func:`_pair_walk_kernel`) so only matched position
+pairs transfer to the host.
 """
 
 from __future__ import annotations
@@ -299,38 +300,6 @@ def banded_pair_align(
         c = int(cnt[p])
         paths.append((ai[p, :c][::-1].copy(), bi[p, :c][::-1].copy()))
     return scores, paths
-
-
-def _walk_pair(dirs_rw: np.ndarray, la: int, lb: int, lo: int):
-    """Gotoh walk from (la, lb) to (0, 0); returns matched (ai, bi) arrays."""
-    ai, bi = [], []
-    i, j = la, lb
-    state = 0  # 0 = S, 1 = H-run, 2 = V-run
-    while i > 0 and j > 0:
-        k = j - i - lo
-        d = int(dirs_rw[i - 1, k])
-        if state == 0:
-            state = d & 3
-        if state == 0:
-            ai.append(i)
-            bi.append(j)
-            i -= 1
-            j -= 1
-        elif state == 1:
-            # horizontal: consume B.
-            ext = (d >> 2) & 1
-            j -= 1
-            state = 1 if ext else 0
-            if not ext:
-                state = 0
-            continue
-        else:
-            ext = (d >> 3) & 1
-            i -= 1
-            state = 2 if ext else 0
-            continue
-        state = 0
-    return np.asarray(ai[::-1], np.int32), np.asarray(bi[::-1], np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "width"))
