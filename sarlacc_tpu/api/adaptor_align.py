@@ -43,11 +43,14 @@ def adaptor_align(
     gap_extension: float = 1,
     qual_type: str = "phred",
     number: int = 100_000,
+    mesh=None,
 ) -> Frame:
     """Align adaptors to read ends and standardize read orientation.
 
     Either ``filepath`` (streamed in ``number``-read chunks,
     R/adaptorAlign.R:26-36) or an in-memory ``reads`` batch must be given.
+    Pass a ``jax.sharding.Mesh`` as ``mesh`` to shard each chunk's batch
+    over devices (data parallelism over reads, SURVEY.md §2.3).
     """
     if qual_type not in QUAL_TYPES:
         raise ValueError(f"qual_type must be one of {QUAL_TYPES}")
@@ -83,10 +86,12 @@ def adaptor_align(
         fb = SeqBatch.concat([front, back])
         bf = SeqBatch.concat([back, front])
         res1 = align_and_extract(
-            a1, fb, gap_opening, gap_extension, 2 * pad_n if pad_n else None
+            a1, fb, gap_opening, gap_extension, 2 * pad_n if pad_n else None,
+            mesh=mesh,
         )
         res2 = align_and_extract(
-            a2, bf, gap_opening, gap_extension, 2 * pad_n if pad_n else None
+            a2, bf, gap_opening, gap_extension, 2 * pad_n if pad_n else None,
+            mesh=mesh,
         )
         lo = np.arange(nb)
         hi = np.arange(nb, 2 * nb)

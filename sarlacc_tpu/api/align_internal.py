@@ -71,6 +71,18 @@ def prepare_adaptor(
     return PreparedAdaptor(adaptor, modes, matched, mt, mmt, starts, ends, tables)
 
 
+def _shard(mesh, *arrays):
+    """Shard batch-major device inputs over the mesh's reads axis; XLA then
+    partitions every batch-parallel kernel without further annotation."""
+    if mesh is None:
+        return arrays
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
 def _pad_batch(batch: SeqBatch, pad_n: int | None) -> tuple[SeqBatch, int]:
     """Pad the batch to a fixed row count so jit shapes stay stable."""
     n = len(batch)
@@ -95,6 +107,7 @@ def align_scores_only(
     gap_opening: float,
     gap_extension: float,
     pad_n: int | None = None,
+    mesh=None,
 ) -> np.ndarray:
     """Batch fitting-mode scores (src/adaptor_align.cpp:79-110).
 
@@ -103,8 +116,12 @@ def align_scores_only(
     """
     from ..ops.pallas_align import fit_scores_pallas, pallas_available
 
+    if mesh is not None:
+        m = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        pad_n = ((max(pad_n or 0, len(batch)) + m - 1) // m) * m
     padded, n = _pad_batch(batch, pad_n)
     codes, qidx, lengths = prepare_reads(padded, adaptor.tables)
+    codes, qidx, lengths = _shard(mesh, codes, qidx, lengths)
     if pallas_available():
         scores = fit_scores_pallas(
             codes,
@@ -141,6 +158,7 @@ def align_and_extract(
     gap_opening: float,
     gap_extension: float,
     pad_n: int | None = None,
+    mesh=None,
 ) -> Frame:
     """Scores, read-coordinate spans, and per-section subsequences.
 
@@ -148,8 +166,12 @@ def align_and_extract(
     1-based inclusive; empty alignments report start=end=0; section
     subsequences include flanking gaps (querymap include_gaps=True).
     """
+    if mesh is not None:
+        m = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        pad_n = ((max(pad_n or 0, len(batch)) + m - 1) // m) * m
     padded, n = _pad_batch(batch, pad_n)
     codes, qidx, lengths = prepare_reads(padded, adaptor.tables)
+    codes, qidx, lengths = _shard(mesh, codes, qidx, lengths)
     scores, dirs = dp_align(
         codes,
         qidx,
