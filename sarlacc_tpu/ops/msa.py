@@ -272,20 +272,39 @@ def banded_pair_align(
     hi_p = np.full(Pp, bandwidth, np.int32)
     hi_p[:P] = hi
 
-    scores, dirs = _banded_pair_kernel(
-        jnp.asarray(codes_a_p, jnp.int32),
-        jnp.asarray(codes_b_p, jnp.int32),
-        jnp.asarray(lens_a_p),
-        jnp.asarray(lens_b_p),
-        jnp.asarray(lo_p),
-        jnp.asarray(hi_p - lo_p),
-        float(match),
-        float(mismatch),
-        float(gap_open),
-        float(gap_ext),
-        rows=rows_b,
-        width=W_b,
-    )
+    from .pallas_msa import banded_pair_pallas, msa_pallas_available
+
+    if msa_pallas_available():
+        # VMEM-resident Pallas path: pad pairs to a lane multiple.
+        PL = 128
+        Pq = ((Pp + PL - 1) // PL) * PL
+        if Pq != Pp:
+            codes_a_p = _pad2(codes_a_p, Pq, codes_a_p.shape[1], 5)
+            codes_b_p = _pad2(codes_b_p, Pq, codes_b_p.shape[1], 5)
+            lens_a_p = np.concatenate([lens_a_p, np.zeros(Pq - Pp, np.int32)])
+            lens_b_p = np.concatenate([lens_b_p, np.zeros(Pq - Pp, np.int32)])
+            lo_p = np.concatenate([lo_p, np.full(Pq - Pp, -bandwidth, np.int32)])
+            hi_p = np.concatenate([hi_p, np.full(Pq - Pp, bandwidth, np.int32)])
+        scores, dirs = banded_pair_pallas(
+            codes_a_p, codes_b_p, lens_a_p, lens_b_p, lo_p, hi_p - lo_p,
+            match, mismatch, gap_open, gap_ext, rows=rows_b, width=W_b,
+        )
+        lens_a_p = lens_a_p[:]
+    else:
+        scores, dirs = _banded_pair_kernel(
+            jnp.asarray(codes_a_p, jnp.int32),
+            jnp.asarray(codes_b_p, jnp.int32),
+            jnp.asarray(lens_a_p),
+            jnp.asarray(lens_b_p),
+            jnp.asarray(lo_p),
+            jnp.asarray(hi_p - lo_p),
+            float(match),
+            float(mismatch),
+            float(gap_open),
+            float(gap_ext),
+            rows=rows_b,
+            width=W_b,
+        )
     # Walk on device; transfer only the matched position pairs.
     ai, bi, cnt = _pair_walk_kernel(
         dirs, jnp.asarray(lens_a_p), jnp.asarray(lens_b_p), jnp.asarray(lo_p)

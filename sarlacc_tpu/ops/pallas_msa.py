@@ -1,0 +1,241 @@
+"""Pallas TPU kernel for banded pairwise global alignment (MSA library).
+
+Same banded DP as :func:`..ops.msa._banded_pair_kernel` but VMEM-resident:
+pairs ride the lane axis (128 per tile), band offsets the sublane axis, and
+the row loop runs across grid steps with state in scratch (scratch persists
+across the row dimension of the grid; direction planes stream straight to
+HBM one row at a time, never touching the tunnel).
+
+The key layout trick: sequence B is pre-shifted on the host so that row i
+needs the window ``b_shift[i-1 : i-1+W]`` for *every* pair — one dynamic
+sublane slice, no per-lane gathers:
+
+    b_shift[t, p] = codes_b[p, t + lo_p]   (pad code 5 outside)
+
+Scores and per-cell Gotoh direction bits match the XLA kernel bit-for-bit
+(same recurrences, same tie rules), so the same on-device walk consumes the
+output.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["banded_pair_pallas", "msa_pallas_available"]
+
+NEG = -1.0e9
+LANES = 128
+
+
+def msa_pallas_available() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+def _shift_up(x, fill):
+    """Row k takes row k+1's value; the last row becomes fill."""
+    rolled = pltpu.roll(x, x.shape[0] - 1, axis=0)  # circular shift by -1
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(rows == x.shape[0] - 1, fill, rolled)
+
+
+def _shift_down(x, sh, fill):
+    rolled = pltpu.roll(x, sh, axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(rows < sh, fill, rolled)
+
+
+def _kernel(
+    scal_ref,  # SMEM [4]: match, mismatch, gap_open, gap_ext
+    lens_a_ref,  # VMEM (1, LANES) int32
+    lens_b_ref,
+    lo_ref,
+    kmax_ref,
+    a_ref,  # VMEM (rows, LANES) int8-as-int32 codes of A (row i-1 -> pos i)
+    bwin_ref,  # VMEM (rows + W, LANES) int32 pre-shifted B codes
+    dirs_ref,  # out block (1, W, LANES) int8 for this row
+    score_ref,  # out block (1, LANES) f32 — final row's S at kfin
+    s_ref,
+    h_ref,
+    v_ref,
+    *,
+    rows: int,
+    width: int,
+):
+    W = width
+    i = pl.program_id(1) + 1  # DP row, 1-based
+    mt = scal_ref[0]
+    mm = scal_ref[1]
+    go = scal_ref[2]
+    ge = scal_ref[3]
+
+    karr = jax.lax.broadcasted_iota(jnp.int32, (W, LANES), 0)
+    karr_f = karr.astype(jnp.float32)
+    lens_b = lens_b_ref[0][None, :]  # (1, LANES)
+    lo = lo_ref[0][None, :]
+    in_band = karr <= kmax_ref[0][None, :]
+
+    @pl.when(i == 1)
+    def _():
+        j0 = lo + karr
+        jj = j0.astype(jnp.float32)
+        s0 = jnp.where(
+            j0 == 0,
+            0.0,
+            jnp.where(
+                jnp.logical_and(jnp.logical_and(j0 >= 1, j0 <= lens_b), in_band),
+                -(go + (jj - 1.0) * ge),
+                NEG,
+            ),
+        )
+        s_ref[:] = s0
+        h_ref[:] = jnp.where(s0 > NEG / 2, jnp.where(j0 >= 1, s0, NEG), NEG)
+        v_ref[:] = jnp.full((W, LANES), NEG, jnp.float32)
+
+    S = s_ref[:]
+    H = h_ref[:]
+    V = v_ref[:]
+
+    j = i + lo + karr
+    valid = jnp.logical_and(jnp.logical_and(j >= 0, j <= lens_b), in_band)
+    alive = i <= lens_a_ref[0][None, :]
+
+    a_i = a_ref[i - 1][None, :]  # (1, LANES)
+    bw = bwin_ref[pl.ds(i - 1, W), :]  # (W, LANES)
+    sub = jnp.where(a_i == bw, mt, mm)
+    sub = jnp.where(jnp.logical_and(j >= 1, j <= lens_b), sub, NEG)
+
+    M = S + sub
+    S_up = _shift_up(S, NEG)
+    V_up = _shift_up(V, NEG)
+    Vn = jnp.maximum(S_up - go, V_up - ge)
+    v_ext = V_up - ge >= S_up - go
+
+    mv = jnp.maximum(M, Vn)
+    B = (mv - go) + karr_f * ge
+    cum = B
+    sh = 1
+    while sh < W:
+        cum = jnp.maximum(cum, _shift_down(cum, sh, NEG))
+        sh *= 2
+    Hn = _shift_down(cum, 1, NEG) - (karr_f - 1.0) * ge
+    Hn = jnp.where(karr == 0, NEG, Hn)
+    Hn = jnp.where(valid, Hn, NEG)
+
+    M = jnp.where(valid, M, NEG)
+    Vn = jnp.where(valid, Vn, NEG)
+    Sn = jnp.maximum(M, jnp.maximum(Hn, Vn))
+
+    choice = jnp.where(M >= Sn, 0, jnp.where(Hn >= Sn, 1, 2)).astype(jnp.int8)
+    mv_prev = _shift_down(mv, 1, NEG)
+    h_prev = _shift_down(Hn, 1, NEG)
+    h_ext = h_prev - ge >= mv_prev - go
+    dirs = choice + (h_ext.astype(jnp.int8) << 2) + (v_ext.astype(jnp.int8) << 3)
+    dirs_ref[0] = dirs
+
+    alive_f = alive
+    s_ref[:] = jnp.where(alive_f, Sn, S)
+    h_ref[:] = jnp.where(alive_f, Hn, H)
+    v_ref[:] = jnp.where(alive_f, Vn, V)
+
+    @pl.when(i == rows)
+    def _():
+        kfin = lens_b_ref[0] - lens_a_ref[0] - lo_ref[0]  # (LANES,)
+        sel = karr == kfin[None, :]
+        score_ref[0] = jnp.max(jnp.where(sel, s_ref[:], NEG), axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "width", "interpret"))
+def _launch(scal, lens_a, lens_b, lo, kmax, a_plane, b_shift, rows, width, interpret):
+    n = a_plane.shape[1]
+    grid = (n // LANES, rows)
+    kern = functools.partial(_kernel, rows=rows, width=width)
+    dirs, scores = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (rows + width, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, width, LANES), lambda t, i: (i, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, width, n), jnp.int8),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((width, LANES), jnp.float32),
+            pltpu.VMEM((width, LANES), jnp.float32),
+            pltpu.VMEM((width, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scal, lens_a, lens_b, lo, kmax, a_plane, b_shift)
+    return dirs, scores[0]
+
+
+def banded_pair_pallas(
+    codes_a_p: np.ndarray,  # [Pp, LA] int (pad 5), Pp multiple of 128
+    codes_b_p: np.ndarray,
+    lens_a_p: np.ndarray,
+    lens_b_p: np.ndarray,
+    lo_p: np.ndarray,
+    kmax_p: np.ndarray,
+    match: float,
+    mismatch: float,
+    gap_open: float,
+    gap_ext: float,
+    rows: int,
+    width: int,
+    interpret: bool | None = None,
+):
+    """Returns (scores [Pp] f32 device, dirs [rows, Pp, W] int8 device)."""
+    if interpret is None:
+        interpret = not msa_pallas_available()
+    Pp = codes_a_p.shape[0]
+
+    a_plane = np.full((rows, Pp), 5, np.int32)
+    la = codes_a_p.shape[1]
+    a_plane[: min(rows, la), :] = codes_a_p.T[: min(rows, la)]
+
+    # b_shift[t, p] = codes_b[p, t + lo_p] (6 = never-matching pad outside).
+    t_idx = np.arange(rows + width)
+    src = t_idx[:, None] + np.asarray(lo_p, np.int64)[None, :]
+    okm = (src >= 0) & (src < codes_b_p.shape[1])
+    gathered = np.take_along_axis(
+        np.ascontiguousarray(codes_b_p.T, dtype=np.int32),
+        np.clip(src, 0, codes_b_p.shape[1] - 1).astype(np.int64),
+        axis=0,
+    )
+    b_shift = np.where(okm, gathered, 6).astype(np.int32)
+
+    scal = jnp.asarray(
+        [float(match), float(mismatch), float(gap_open), float(gap_ext)], jnp.float32
+    )
+    dirs, scores = _launch(
+        scal,
+        jnp.asarray(lens_a_p[None, :], jnp.int32),
+        jnp.asarray(lens_b_p[None, :], jnp.int32),
+        jnp.asarray(lo_p[None, :], jnp.int32),
+        jnp.asarray(kmax_p[None, :], jnp.int32),
+        jnp.asarray(a_plane),
+        jnp.asarray(b_shift),
+        rows=rows,
+        width=width,
+        interpret=bool(interpret),
+    )
+    # Walk kernel expects [rows, P, W].
+    return scores, dirs.transpose(0, 2, 1)

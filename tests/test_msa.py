@@ -118,3 +118,38 @@ def test_banded_pair_align_length_difference(rng):
     )
     # One 20-gap: -(5 + 19).
     assert scores[0] == -(5 + 19)
+
+
+def test_pallas_banded_pair_parity(rng):
+    # Pallas (interpret) vs XLA banded kernel: scores exact, dirs equal on
+    # all live in-band cells (dead rows beyond lens_a never get walked).
+    import jax.numpy as jnp
+
+    from sarlacc_tpu.ops.msa import _banded_pair_kernel
+    from sarlacc_tpu.ops.pallas_msa import banded_pair_pallas
+
+    P, LA, LB, bw = 128, 40, 44, 6
+    codes_a = rng.integers(0, 4, (P, LA)).astype(np.int32)
+    codes_b = rng.integers(0, 4, (P, LB)).astype(np.int32)
+    lens_a = rng.integers(15, LA + 1, P).astype(np.int32)
+    lens_b = rng.integers(15, LB + 1, P).astype(np.int32)
+    diffs = lens_b.astype(np.int64) - lens_a
+    lo = (np.minimum(0, diffs) - bw).astype(np.int32)
+    hi = (np.maximum(0, diffs) + bw).astype(np.int32)
+    W = ((int((hi - lo).max()) + 1 + 63) // 64) * 64
+    rows = ((int(lens_a.max()) + 63) // 64) * 64
+
+    s_ref, d_ref = _banded_pair_kernel(
+        jnp.asarray(codes_a), jnp.asarray(codes_b), jnp.asarray(lens_a),
+        jnp.asarray(lens_b), jnp.asarray(lo), jnp.asarray(hi - lo),
+        0.0, -1.0, 5.0, 1.0, rows=rows, width=W,
+    )
+    s_pal, d_pal = banded_pair_pallas(
+        codes_a, codes_b, lens_a, lens_b, lo, hi - lo,
+        0.0, -1.0, 5.0, 1.0, rows=rows, width=W, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_pal))
+    d_ref = np.asarray(d_ref)
+    d_pal = np.asarray(d_pal)
+    live = (np.arange(1, rows + 1)[:, None] <= lens_a[None, :])[:, :, None]
+    assert np.array_equal(np.where(live, d_ref, 0), np.where(live, d_pal, 0))
