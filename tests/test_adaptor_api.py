@@ -176,3 +176,35 @@ def test_quality_align_oracle(rng):
         assert out["edit"][i] == sum(
             1 for a, b in zip(out["reference"][i], out["query"][i]) if a != b
         )
+
+
+@pytest.mark.parametrize("qual_type", ["solexa", "illumina"])
+def test_alternative_quality_encodings(qual_type):
+    # The qual.type argument selects the error table end to end
+    # (R/adaptorAlign.R:8, .qual2class).
+    from sarlacc_tpu.core.quality import get_encoding
+    from sarlacc_tpu.refimpl.align import ReferenceAlign
+
+    enc = get_encoding(qual_type)
+    q0 = chr(enc.offset + 5)
+    seqs = ["ACGTACGTACGT"]
+    quals = [q0 * 12]
+    out = st.adaptor_align(
+        "ACGTACGT", "TTTTCCCC", reads=SeqBatch.from_strings(seqs, quals),
+        tolerance=12, qual_type=qual_type,
+    )
+    ra = ReferenceAlign("ACGTACGT", 5, 1, qual_type=qual_type)
+    expect = ra.align(seqs[0], quals[0], local=True)
+    got = max(out["adaptor1"]["score"][0], out["adaptor2"]["score"][0])
+    # adaptor1 canonical orientation score must match the oracle
+    assert out["adaptor1"]["score"][0] == pytest.approx(expect, abs=1e-4)
+
+
+def test_dual_umi_end_to_end(mock_fastq):
+    fp, _ = mock_fastq
+    aligned = st.adaptor_align(ADAPTOR1, ADAPTOR2, filepath=fp, tolerance=80, number=50)
+    bc = aligned["adaptor1"]["subseq"]["Sub1"]
+    umi = aligned["adaptor1"]["subseq"]["Sub2"]
+    groups = st.umi_group(umi, 3, bc, 2)
+    flat = sorted(int(i) for g in groups for i in g)
+    assert flat == list(range(len(aligned)))
