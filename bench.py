@@ -51,18 +51,27 @@ def build_workload(n_molecules=24, reads_per_mol=(8, 14), seqlen=(400, 700), see
     return adaptor1, adaptor2, batch
 
 
-def run_pipeline(adaptor1, adaptor2, batch, tolerance=250):
+def run_pipeline(adaptor1, adaptor2, batch, tolerance=250, timings=None):
     import sarlacc_tpu as st
 
+    def mark(name):
+        if timings is not None:
+            timings.append((name, time.time()))
+
+    mark("start")
     aligned = st.adaptor_align(
         adaptor1, adaptor2, reads=batch, tolerance=tolerance
     )
+    mark("adaptor_align")
     umis = aligned["adaptor1"]["subseq"]["Sub2"]
     groups = st.umi_group(umis, threshold1=2)
+    mark("umi_group")
     filt = [g for g in groups if len(g) >= 2]
     reads = st.realize_reads(aligned, reads=batch, trim=False)
     msa = st.multi_read_align(reads, groups=filt, bandwidth=100)
+    mark("multi_read_align")
     cons = st.consensus_read_seq(msa)
+    mark("consensus")
     return len(batch), len(cons)
 
 
@@ -73,9 +82,15 @@ def main():
     small = batch.take(np.arange(min(32, len(batch))))
     run_pipeline(adaptor1, adaptor2, small)
 
+    import sys
+
+    timings: list = []
     t0 = time.time()
-    nreads, ncons = run_pipeline(adaptor1, adaptor2, batch)
+    nreads, ncons = run_pipeline(adaptor1, adaptor2, batch, timings=timings)
     elapsed = time.time() - t0
+
+    for (name, t), (_, prev) in zip(timings[1:], timings[:-1]):
+        print(f"[bench] {name}: {t - prev:.2f}s", file=sys.stderr)
 
     value = nreads / elapsed
     print(
