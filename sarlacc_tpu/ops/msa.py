@@ -217,33 +217,13 @@ def _pair_walk_kernel(dirs, lens_a, lens_b, lo):
     return ai[:, :cap], bi[:, :cap], cnt
 
 
-def banded_pair_align(
-    codes_a: np.ndarray,
-    lens_a: np.ndarray,
-    codes_b: np.ndarray,
-    lens_b: np.ndarray,
-    match: float,
-    mismatch: float,
-    gap_open: float,
-    gap_ext: float,
-    bandwidth: int,
+def _run_pair_bucket(
+    codes_a, lens_a, codes_b, lens_b, lo, hi,
+    match, mismatch, gap_open, gap_ext, bandwidth, rows_b, W_b,
 ):
-    """Batch of banded global pairwise alignments.
-
-    Returns (scores [P] float, paths: list of (ai, bi) position arrays for
-    the match/mismatch columns of each alignment, 1-based).
-    """
+    """One shape-bucketed launch (DP + on-device walk)."""
     P = codes_a.shape[0]
-    lens_a = np.asarray(lens_a, np.int32)
-    lens_b = np.asarray(lens_b, np.int32)
-    diffs = lens_b.astype(np.int64) - lens_a.astype(np.int64)
-    lo = (np.minimum(0, diffs) - bandwidth).astype(np.int32)
-    hi = (np.maximum(0, diffs) + bandwidth).astype(np.int32)
-    W = int((hi - lo).max()) + 1 if P else 1
-    rows = int(lens_a.max()) if P else 0
 
-    # Bucket jit shapes (pairs, scan length, band width, sequence planes) to
-    # powers of two so repeated launches across ragged groups reuse compiles.
     def _bkt(x, base):
         b = base
         while b < x:
@@ -251,14 +231,12 @@ def banded_pair_align(
         return b
 
     Pp = _bkt(max(P, 1), 8)
-    rows_b = _bkt(max(rows, 1), 64)
-    W_b = _bkt(W, 64)
-    la_b = _bkt(max(codes_a.shape[1], 1), 64)
-    lb_b = _bkt(max(codes_b.shape[1], 1), 64)
+    la_b = _bkt(max(int(lens_a.max()) if P else 1, 1), 64)
+    lb_b = _bkt(max(int(lens_b.max()) if P else 1, 1), 64)
 
     def _pad2(a, n, w, fill):
         out = np.full((n, w), fill, a.dtype)
-        out[: a.shape[0], : a.shape[1]] = a
+        out[: a.shape[0], : min(a.shape[1], w)] = a[:, :w]
         return out
 
     codes_a_p = _pad2(np.asarray(codes_a), Pp, la_b, 5)
@@ -289,7 +267,6 @@ def banded_pair_align(
             codes_a_p, codes_b_p, lens_a_p, lens_b_p, lo_p, hi_p - lo_p,
             match, mismatch, gap_open, gap_ext, rows=rows_b, width=W_b,
         )
-        lens_a_p = lens_a_p[:]
     else:
         scores, dirs = _banded_pair_kernel(
             jnp.asarray(codes_a_p, jnp.int32),
@@ -313,11 +290,63 @@ def banded_pair_align(
     ai = np.asarray(ai)[:P]
     bi = np.asarray(bi)[:P]
     cnt = np.asarray(cnt)[:P]
-
     paths = []
-    for p in range(P):
-        c = int(cnt[p])
-        paths.append((ai[p, :c][::-1].copy(), bi[p, :c][::-1].copy()))
+    for q in range(P):
+        c = int(cnt[q])
+        paths.append((ai[q, :c][::-1].copy(), bi[q, :c][::-1].copy()))
+    return scores, paths
+
+
+def banded_pair_align(
+    codes_a: np.ndarray,
+    lens_a: np.ndarray,
+    codes_b: np.ndarray,
+    lens_b: np.ndarray,
+    match: float,
+    mismatch: float,
+    gap_open: float,
+    gap_ext: float,
+    bandwidth: int,
+):
+    """Batch of banded global pairwise alignments.
+
+    Pairs are partitioned into (rows, band-width) shape classes so that one
+    ragged batch doesn't inflate everyone's DP to the worst case; each class
+    is one device launch.  Returns (scores [P] float, paths: list of
+    (ai, bi) matched-position arrays, 1-based).
+    """
+    P = codes_a.shape[0]
+    lens_a = np.asarray(lens_a, np.int32)
+    lens_b = np.asarray(lens_b, np.int32)
+    if P == 0:
+        return np.zeros(0), []
+    diffs = lens_b.astype(np.int64) - lens_a.astype(np.int64)
+    lo = (np.minimum(0, diffs) - bandwidth).astype(np.int32)
+    hi = (np.maximum(0, diffs) + bandwidth).astype(np.int32)
+
+    def _bkt_arr(x, base):
+        out = np.full_like(x, base)
+        while True:
+            small = out < x
+            if not small.any():
+                return out
+            out[small] *= 2
+
+    rows_c = _bkt_arr(np.maximum(lens_a.astype(np.int64), 1), 64)
+    W_c = _bkt_arr((hi - lo + 1).astype(np.int64), 64)
+
+    scores = np.zeros(P, np.float64)
+    paths: list = [None] * P
+    for key in sorted(set(zip(rows_c.tolist(), W_c.tolist()))):
+        idx = np.flatnonzero((rows_c == key[0]) & (W_c == key[1]))
+        sc, pt = _run_pair_bucket(
+            codes_a[idx], lens_a[idx], codes_b[idx], lens_b[idx],
+            lo[idx], hi[idx], match, mismatch, gap_open, gap_ext,
+            bandwidth, int(key[0]), int(key[1]),
+        )
+        scores[idx] = sc
+        for k, i in enumerate(idx):
+            paths[i] = pt[k]
     return scores, paths
 
 

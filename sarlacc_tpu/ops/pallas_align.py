@@ -115,14 +115,25 @@ def _encode_matched(matched: np.ndarray) -> np.ndarray:
     return enc
 
 
-@functools.partial(jax.jit, static_argnames=("rlen", "l1", "local", "interpret"))
-def _launch(modes, matched_enc, scalars, match_tab, mismatch_tab, qidx_k, codes_k, rlen, l1, local, interpret):
-    # Cost tables are gathered ON DEVICE — the int8 qidx/codes planes are the
-    # only per-call host->device transfer (the remote tunnel is slow).
-    costm = jnp.take(match_tab, qidx_k.astype(jnp.int32), axis=1)  # [4, l1, n]
-    costmm = jnp.take(mismatch_tab, qidx_k.astype(jnp.int32), axis=1)
-    codes = codes_k.astype(jnp.int32)
-    n_lanes = codes.shape[1]
+@functools.partial(
+    jax.jit, static_argnames=("rlen", "l1", "n_pad", "local", "interpret")
+)
+def _launch(modes, matched_enc, scalars, match_tab, mismatch_tab, qidx, codes_in, rlen, l1, n_pad, local, interpret):
+    # Plane construction (pad + transpose) and cost-table gathers all happen
+    # ON DEVICE: the [N, L] int8 codes/qidx arrays from prepare_reads are the
+    # only host->device transfer (the remote tunnel is slow, and they are
+    # usually already device-resident).
+    N, L = codes_in.shape
+    qidx_k = jnp.zeros((l1, n_pad), jnp.int32)
+    qidx_k = qidx_k.at[1 : L + 1, :N].set(qidx.astype(jnp.int32).T)
+    codes_k = jnp.full((l1, n_pad), 5, jnp.int32)
+    codes_k = codes_k.at[0].set(0)
+    codes_k = codes_k.at[1 : L + 1, :N].set(codes_in.astype(jnp.int32).T)
+
+    costm = jnp.take(match_tab, qidx_k, axis=1)  # [4, l1, n]
+    costmm = jnp.take(mismatch_tab, qidx_k, axis=1)
+    codes = codes_k
+    n_lanes = n_pad
     grid = (n_lanes // LANES,)
     kern = functools.partial(_kernel, rlen=rlen, l1=l1, local=local)
     return pl.pallas_call(
@@ -159,25 +170,19 @@ def fit_scores_pallas(
     local: bool = True,
     interpret: bool | None = None,
 ):
-    """Batch scores via the Pallas kernel; returns [N] float32."""
+    """Batch scores via the Pallas kernel; returns [N] float32.
+
+    ``codes``/``qidx`` may be device arrays — they are NOT pulled to the
+    host (every host round-trip crosses the slow tunnel twice).
+    """
     if interpret is None:
         interpret = not pallas_available()
-    codes = np.asarray(codes)
-    qidx = np.asarray(qidx)
     N, L = codes.shape
     R = int(np.asarray(modes).shape[0])
     l1 = L + 1
     # Sublane alignment: pad L+1 to a multiple of 8.
     l1 = ((l1 + 7) // 8) * 8
     n_pad = ((N + LANES - 1) // LANES) * LANES
-
-    # Row i of the kernel planes holds read position i-1; int8 keeps the
-    # per-call transfer tiny (qidx <= 93, codes <= 5).
-    qidx_k = np.zeros((l1, n_pad), np.int8)
-    qidx_k[1 : L + 1, :N] = np.asarray(qidx, np.int8).T
-    codes_k = np.full((l1, n_pad), 5, np.int8)
-    codes_k[0] = 0
-    codes_k[1 : L + 1, :N] = np.asarray(codes, np.int8).T
 
     scalars = jnp.asarray([float(gap_opening), float(gap_extension)], jnp.float32)
     out = _launch(
@@ -186,10 +191,11 @@ def fit_scores_pallas(
         scalars,
         jnp.asarray(match_tab, jnp.float32),
         jnp.asarray(mismatch_tab, jnp.float32),
-        jnp.asarray(qidx_k),
-        jnp.asarray(codes_k),
+        jnp.asarray(qidx, jnp.int8),
+        jnp.asarray(codes, jnp.int8),
         rlen=R,
         l1=l1,
+        n_pad=n_pad,
         local=local,
         interpret=bool(interpret),
     )

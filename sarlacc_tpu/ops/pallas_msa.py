@@ -131,12 +131,13 @@ def _kernel(
     Vn = jnp.where(valid, Vn, NEG)
     Sn = jnp.maximum(M, jnp.maximum(Hn, Vn))
 
-    choice = jnp.where(M >= Sn, 0, jnp.where(Hn >= Sn, 1, 2)).astype(jnp.int8)
+    # Mosaic vector arithmetic wants i32; cast to int8 only at the store.
+    choice = jnp.where(M >= Sn, 0, jnp.where(Hn >= Sn, 1, 2)).astype(jnp.int32)
     mv_prev = _shift_down(mv, 1, NEG)
     h_prev = _shift_down(Hn, 1, NEG)
     h_ext = h_prev - ge >= mv_prev - go
-    dirs = choice + (h_ext.astype(jnp.int8) << 2) + (v_ext.astype(jnp.int8) << 3)
-    dirs_ref[0] = dirs
+    dirs = choice + (h_ext.astype(jnp.int32) << 2) + (v_ext.astype(jnp.int32) << 3)
+    dirs_ref[0] = dirs.astype(jnp.int8)
 
     alive_f = alive
     s_ref[:] = jnp.where(alive_f, Sn, S)
