@@ -22,6 +22,7 @@ import numpy as np
 from ..core.encode import SeqBatch
 from ..core.frame import Frame
 from ..io.fastq import stream_fastq
+from ..utils.profiling import profiled
 from .align_internal import (
     align_and_extract,
     prepare_adaptor,
@@ -33,6 +34,7 @@ __all__ = ["adaptor_align"]
 QUAL_TYPES = ("phred", "solexa", "illumina")
 
 
+@profiled("adaptor_align")
 def adaptor_align(
     adaptor1: str,
     adaptor2: str,

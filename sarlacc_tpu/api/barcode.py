@@ -14,10 +14,12 @@ from ..core.encode import SeqBatch
 from ..core.frame import Frame
 from ..ops.align import dp_align, prepare_reads
 from .align_internal import prepare_adaptor
+from ..utils.profiling import profiled
 
 __all__ = ["barcode_align", "get_barcode_thresholds"]
 
 
+@profiled("barcode_align")
 def barcode_align(
     sequences: SeqBatch,
     barcodes: list[str],

@@ -18,6 +18,7 @@ from ..core.encode import SeqBatch
 from ..core.frame import Frame
 from ..core.quality import errors_to_phred_string, get_encoding
 from ..ops.consensus import consensus_basic_dev, consensus_quality_dev
+from ..utils.profiling import profiled
 
 __all__ = ["consensus_read_seq"]
 
@@ -77,6 +78,7 @@ def _bucket_up(x: int) -> int:
     return b
 
 
+@profiled("consensus_read_seq")
 def consensus_read_seq(
     alignments: Frame | list[list[str]],
     pseudo_count: float = 1.0,

@@ -37,6 +37,7 @@ from ..core.frame import Frame
 from ..ops.msa import banded_pair_align, banded_profile_merge_many
 from ..refimpl.masking import unmask_alignment
 from .umi import quality_mask
+from ..utils.profiling import profiled
 
 __all__ = ["multi_read_align"]
 
@@ -385,6 +386,7 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
     return results
 
 
+@profiled("multi_read_align")
 def multi_read_align(
     reads: SeqBatch,
     groups=None,

@@ -14,10 +14,12 @@ from ..core.frame import Frame
 from ..ops.align import dp_align, prepare_reads
 from ..ops.backtrack import backtrack_strings
 from .align_internal import prepare_adaptor
+from ..utils.profiling import profiled
 
 __all__ = ["quality_align"]
 
 
+@profiled("quality_align")
 def quality_align(
     sequences: SeqBatch,
     reference: str,

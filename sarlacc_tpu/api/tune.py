@@ -16,6 +16,7 @@ from ..core.encode import SeqBatch
 from ..core.frame import Frame
 from ..io.fastq import sample_fastq, stream_fastq
 from .align_internal import align_scores_only, prepare_adaptor, resolve_strand
+from ..utils.profiling import profiled
 
 __all__ = ["tune_alignment", "get_adaptor_thresholds"]
 
@@ -54,6 +55,7 @@ def tied_overlap(real: np.ndarray, fake: np.ndarray) -> float:
     return float((upper + lower).sum() / 2.0 / (real.size * fake.size))
 
 
+@profiled("tune_alignment")
 def tune_alignment(
     adaptor1: str,
     adaptor2: str,
@@ -120,6 +122,7 @@ def compute_threshold(real: np.ndarray, scrambled: np.ndarray, error: float) -> 
     return float(real[ok[0]])
 
 
+@profiled("get_adaptor_thresholds")
 def get_adaptor_thresholds(
     aligned: Frame,
     error: float = 0.01,

@@ -27,6 +27,7 @@ from ..core.quality import get_encoding
 from ..ops.levenshtein import lev2_condensed, lev2_matrix
 from ..refimpl.cluster import cluster_umis
 from ..refimpl.masking import mask_bad_bases
+from ..utils.profiling import profiled
 
 __all__ = ["quality_mask", "expected_dist", "umi_group"]
 
@@ -45,6 +46,7 @@ def quality_mask(seqs, max_err: float | None = None, qual_type: str = "phred") -
     return mask_bad_bases(batch, get_encoding(qual_type), float(max_err))
 
 
+@profiled("expected_dist")
 def expected_dist(seqs, max_err: float | None = None, qual_type: str = "phred") -> np.ndarray:
     """Condensed all-pairs masked Levenshtein distances (float, N = 0.5)."""
     batch = quality_mask(seqs, max_err, qual_type)
@@ -78,6 +80,7 @@ def _neighbor_lists(
     return [order[adj_ord[:, q]].tolist() for q in range(n)]
 
 
+@profiled("umi_group")
 def umi_group(
     umi1,
     threshold1: int = 3,

@@ -80,3 +80,18 @@ def set_profiler(p: PipelineProfiler) -> None:
 def profiler(name: str, items: int = 0, cells: int = 0):
     with _GLOBAL.stage(name, items=items, cells=cells) as st:
         yield st
+
+
+def profiled(name: str):
+    """Decorator: record wall time of every call under ``name``."""
+    import functools
+
+    def wrap(fn):
+        @functools.wraps(fn)
+        def inner(*args, **kwargs):
+            with _GLOBAL.stage(name):
+                return fn(*args, **kwargs)
+
+        return inner
+
+    return wrap
