@@ -81,6 +81,12 @@ def _pair_libraries(codes, lengths, by_group, match, mismatch, go, ge, bandwidth
         codes[ga], lengths[ga], codes[gb], lengths[gb],
         match, mismatch, go, ge, bandwidth,
     )
+    from ..utils.profiling import profiler as _prof
+    with _prof("msa.pair_postprocess"):
+        return _pair_post(jobs, paths, codes, ga, gb, libs, idents)
+
+
+def _pair_post(jobs, paths, codes, ga, gb, libs, idents):
     for p, (gi, x, y) in enumerate(jobs):
         pa, pb = paths[p]
         if pa.size:
@@ -307,17 +313,21 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
         else:
             active.append(gi)
 
-    libs, idents = _pair_libraries(
-        codes, lengths, [by_group[gi] for gi in active],
-        match, mismatch, go, ge, bandwidth,
-    )
+    from ..utils.profiling import profiler
+
+    with profiler("msa.pair_library"):
+        libs, idents = _pair_libraries(
+            codes, lengths, [by_group[gi] for gi in active],
+            match, mismatch, go, ge, bandwidth,
+        )
 
     state = {}
     for pos, gi in enumerate(active):
         idx = by_group[gi]
         g = idx.size
         lens_local = lengths[idx]
-        lib = _triplet_extension(libs[pos], g, lens_local)
+        with profiler("msa.triplet"):
+            lib = _triplet_extension(libs[pos], g, lens_local)
         merges = _nj_tree(1.0 - idents[pos])
         profiles = {m: _Profile.leaf(m, int(lens_local[m])) for m in range(g)}
         state[gi] = {"lib": lib, "merges": merges, "at": 0, "profiles": profiles,
@@ -334,14 +344,16 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
             if pa.ncols == 0 or pb.ncols == 0:
                 trivial.append((gi, a, b))
                 continue
-            cost, la, lb, lo = _merge_cost(pa, pb, st["lib"], bandwidth)
+            with profiler("msa.merge_cost"):
+                cost, la, lb, lo = _merge_cost(pa, pb, st["lib"], bandwidth)
             wave.append((gi, a, b))
             costs.append(cost)
             las.append(la)
             lbs.append(lb)
             los.append(lo)
 
-        paths = banded_profile_merge_many(costs, las, lbs, los)
+        with profiler("msa.merge_kernel"):
+            paths = banded_profile_merge_many(costs, las, lbs, los)
         for (gi, a, b), (ai, bi) in zip(wave, paths):
             st = state[gi]
             st["profiles"][st["nxt"]] = _apply_merge(

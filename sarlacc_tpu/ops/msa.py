@@ -282,14 +282,17 @@ def _run_pair_bucket(
             rows=rows_b,
             width=W_b,
         )
+    from ..utils.profiling import profiler as _prof
+
     # Walk on device; transfer only the matched position pairs.
-    ai, bi, cnt = _pair_walk_kernel(
-        dirs, jnp.asarray(lens_a_p), jnp.asarray(lens_b_p), jnp.asarray(lo_p)
-    )
-    scores = np.asarray(scores, np.float64)[:P]
-    ai = np.asarray(ai)[:P]
-    bi = np.asarray(bi)[:P]
-    cnt = np.asarray(cnt)[:P]
+    with _prof("msa.pair_walk"):
+        ai, bi, cnt = _pair_walk_kernel(
+            dirs, jnp.asarray(lens_a_p), jnp.asarray(lens_b_p), jnp.asarray(lo_p)
+        )
+        scores = np.asarray(scores, np.float64)[:P]
+        ai = np.asarray(ai)[:P]
+        bi = np.asarray(bi)[:P]
+        cnt = np.asarray(cnt)[:P]
     paths = []
     for q in range(P):
         c = int(cnt[q])
