@@ -14,7 +14,7 @@ SeqAn call (src/quick_msa.cpp:25-75, R/multiReadAlign.R:7-48):
    default guide tree for ``globalMsaAlignment``).
 4. **Progressive merges** — profile-profile maximal-weighted-trace DP with
    library-sum column scores and zero gap cost, banded, on device
-   (:func:`..ops.msa.banded_profile_merge`).
+   (:func:`..ops.msa.banded_profile_merge_many`).
 
 Two deliberate deviations from the reference, both documented:
 

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["banded_pair_align", "banded_profile_merge", "band_halfwidth"]
+__all__ = ["banded_pair_align", "banded_profile_merge", "banded_profile_merge_many", "band_halfwidth"]
 
 NEG = -1.0e9  # integer-ish scores stay far from this
 
@@ -459,6 +459,5 @@ def banded_profile_merge_many(costs, las, lbs, los):
 
 
 def banded_profile_merge(cost: np.ndarray, la: int, lb: int, lo: int):
-    """One merge (P=1 convenience wrapper): returns (score, matched pairs)."""
-    out = banded_profile_merge_many([cost], [la], [lb], [lo])
-    return 0.0, out[0]
+    """One merge (P=1 convenience wrapper): returns the matched column pairs."""
+    return banded_profile_merge_many([cost], [la], [lb], [lo])[0]
