@@ -411,7 +411,9 @@ def _walk_merge(dirs_rw: np.ndarray, la: int, lb: int, lo: int):
 
 
 def banded_profile_merge_many(costs, las, lbs, los):
-    """Batch of profile merges (one device launch, shape-bucketed).
+    """Batch of profile merges, partitioned into (rows, W) shape classes so
+    one long merge doesn't inflate the padded upload for every other merge
+    (the cost planes dominate host->device traffic).
 
     ``costs[p]`` is [la_p, W_p] float32; returns list of (ai, bi) matched
     column arrays per merge.
@@ -426,8 +428,37 @@ def banded_profile_merge_many(costs, las, lbs, los):
             b *= 2
         return b
 
-    rows_b = _bkt(max(int(l) for l in las), 64)
-    W_b = _bkt(max(c.shape[1] for c in costs), 64)
+    classes: dict[tuple[int, int], list[int]] = {}
+    for p in range(P):
+        key = (_bkt(max(int(las[p]), 1), 64), _bkt(costs[p].shape[1], 64))
+        classes.setdefault(key, []).append(p)
+    if len(classes) > 1:
+        out: list = [None] * P
+        for (rb, wb), idxs in classes.items():
+            sub = _merge_bucket(
+                [costs[i] for i in idxs],
+                [las[i] for i in idxs],
+                [lbs[i] for i in idxs],
+                [los[i] for i in idxs],
+                rb,
+                wb,
+            )
+            for k, i in enumerate(idxs):
+                out[i] = sub[k]
+        return out
+    (rows_b, W_b), = classes.keys()
+    return _merge_bucket(costs, las, lbs, los, rows_b, W_b)
+
+
+def _merge_bucket(costs, las, lbs, los, rows_b, W_b):
+    P = len(costs)
+
+    def _bkt(x, base):
+        b = base
+        while b < x:
+            b *= 2
+        return b
+
     Pp = _bkt(P, 4)
 
     cost = np.full((Pp, rows_b, W_b), NEG, np.float32)
