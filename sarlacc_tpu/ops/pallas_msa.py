@@ -152,7 +152,26 @@ def _kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "width", "interpret"))
-def _launch(scal, lens_a, lens_b, lo, kmax, a_plane, b_shift, rows, width, interpret):
+def _launch(scal, lens_a, lens_b, lo, kmax, codes_a, codes_b, rows, width, interpret):
+    # Plane construction on device: the int8 code matrices are the only
+    # host->device transfer.
+    Pp = codes_a.shape[0]
+    a_plane = jnp.full((rows, Pp), 5, jnp.int32)
+    la = codes_a.shape[1]
+    take = min(rows, la)
+    a_plane = a_plane.at[:take, :].set(codes_a.astype(jnp.int32).T[:take])
+
+    # b_shift[t, p] = codes_b[p, t + lo_p] (6 = never-matching pad outside).
+    t_idx = jnp.arange(rows + width)
+    src = t_idx[:, None] + lo[0][None, :].astype(jnp.int64)
+    okm = jnp.logical_and(src >= 0, src < codes_b.shape[1])
+    gathered = jnp.take_along_axis(
+        codes_b.astype(jnp.int32).T,
+        jnp.clip(src, 0, codes_b.shape[1] - 1),
+        axis=0,
+    )
+    b_shift = jnp.where(okm, gathered, 6).astype(jnp.int32)
+
     n = a_plane.shape[1]
     grid = (n // LANES, rows)
     kern = functools.partial(_kernel, rows=rows, width=width)
@@ -169,7 +188,7 @@ def _launch(scal, lens_a, lens_b, lo, kmax, a_plane, b_shift, rows, width, inter
             pl.BlockSpec(
                 (rows + width, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM
             ),
-        ],
+        ],  # noqa: E501 — a_plane/b_shift built on device above
         out_specs=(
             pl.BlockSpec((1, width, LANES), lambda t, i: (i, 0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM),
@@ -206,22 +225,6 @@ def banded_pair_pallas(
     """Returns (scores [Pp] f32 device, dirs [rows, Pp, W] int8 device)."""
     if interpret is None:
         interpret = not msa_pallas_available()
-    Pp = codes_a_p.shape[0]
-
-    a_plane = np.full((rows, Pp), 5, np.int32)
-    la = codes_a_p.shape[1]
-    a_plane[: min(rows, la), :] = codes_a_p.T[: min(rows, la)]
-
-    # b_shift[t, p] = codes_b[p, t + lo_p] (6 = never-matching pad outside).
-    t_idx = np.arange(rows + width)
-    src = t_idx[:, None] + np.asarray(lo_p, np.int64)[None, :]
-    okm = (src >= 0) & (src < codes_b_p.shape[1])
-    gathered = np.take_along_axis(
-        np.ascontiguousarray(codes_b_p.T, dtype=np.int32),
-        np.clip(src, 0, codes_b_p.shape[1] - 1).astype(np.int64),
-        axis=0,
-    )
-    b_shift = np.where(okm, gathered, 6).astype(np.int32)
 
     scal = jnp.asarray(
         [float(match), float(mismatch), float(gap_open), float(gap_ext)], jnp.float32
@@ -232,8 +235,8 @@ def banded_pair_pallas(
         jnp.asarray(lens_b_p[None, :], jnp.int32),
         jnp.asarray(lo_p[None, :], jnp.int32),
         jnp.asarray(kmax_p[None, :], jnp.int32),
-        jnp.asarray(a_plane),
-        jnp.asarray(b_shift),
+        jnp.asarray(codes_a_p, jnp.int8),
+        jnp.asarray(codes_b_p, jnp.int8),
         rows=rows,
         width=width,
         interpret=bool(interpret),
