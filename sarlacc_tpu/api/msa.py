@@ -292,6 +292,73 @@ def _apply_merge(pa: _Profile, pb: _Profile, ai, bi) -> _Profile:
     return _Profile(pa.members + pb.members, new_c2p)
 
 
+def _merge_descriptor(gi, pa: _Profile, pb: _Profile, pair_seg, bandwidth: int):
+    """Wave-input descriptor for one profile merge (see merge_wave_from_library)."""
+    la, lb = pa.ncols, pb.ncols
+    diff = lb - la
+    lo = min(0, diff) - bandwidth
+    hi = max(0, diff) + bandwidth
+
+    def flat_maps(prof: _Profile):
+        maps, offs = [], []
+        at = 0
+        for c2p in prof.col2pos:
+            size = int(c2p.max(initial=0)) + 1
+            m = np.zeros(size, np.int32)
+            nz = c2p > 0
+            m[c2p[nz]] = np.flatnonzero(nz).astype(np.int32) + 1
+            maps.append(m)
+            offs.append(at)
+            at += size
+        return np.concatenate(maps) if maps else np.zeros(1, np.int32), offs
+
+    p2ca, aoffs = flat_maps(pa)
+    p2cb, boffs = flat_maps(pb)
+
+    segments = []
+    for mi, a in enumerate(pa.members):
+        for mj, b in enumerate(pb.members):
+            if a < b:
+                key, swap = (gi, a, b), 0
+            else:
+                key, swap = (gi, b, a), 1
+            seg = pair_seg.get(key)
+            if seg is None or seg[1] == 0:
+                continue
+            segments.append((seg[0], seg[1], aoffs[mi], boffs[mj], swap))
+    return {
+        "la": la,
+        "lb": lb,
+        "lo": lo,
+        "kmax": hi - lo,
+        "segments": segments,
+        "p2ca": p2ca,
+        "p2cb": p2cb,
+    }
+
+
+def _run_merge_wave(lib_dev, wave, descs):
+    """Partition the wave's merges into shape classes and run each class."""
+    from ..ops.msa import merge_wave_from_library
+
+    def _bkt(x, base):
+        b = base
+        while b < x:
+            b *= 2
+        return b
+
+    classes: dict = {}
+    for i, d in enumerate(descs):
+        key = (_bkt(max(d["la"], 1), 64), _bkt(d["kmax"] + 1, 64))
+        classes.setdefault(key, []).append(i)
+    paths: list = [None] * len(descs)
+    for (rb, wb), idxs in classes.items():
+        sub = merge_wave_from_library(lib_dev, [descs[i] for i in idxs], rb, wb)
+        for k, i in enumerate(idxs):
+            paths[i] = sub[k]
+    return paths
+
+
 def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
     """MSA for all groups, batching device launches across groups.
 
@@ -322,20 +389,46 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
         )
 
     state = {}
+    lib_pa_parts, lib_pb_parts, lib_w_parts = [], [], []
+    pair_seg: dict = {}
+    lib_at = 0
     for pos, gi in enumerate(active):
         idx = by_group[gi]
         g = idx.size
         lens_local = lengths[idx]
         with profiler("msa.triplet"):
             lib = _triplet_extension(libs[pos], g, lens_local)
+        for (x, y), (epa, epb, ew) in sorted(lib.items()):
+            lib_pa_parts.append(epa.astype(np.int32))
+            lib_pb_parts.append(epb.astype(np.int32))
+            lib_w_parts.append(ew.astype(np.float32))
+            pair_seg[(gi, x, y)] = (lib_at, epa.size)
+            lib_at += epa.size
         merges = _nj_tree(1.0 - idents[pos])
         profiles = {m: _Profile.leaf(m, int(lens_local[m])) for m in range(g)}
         state[gi] = {"lib": lib, "merges": merges, "at": 0, "profiles": profiles,
                      "nxt": g}
 
+    # Upload the concatenated library ONCE; every merge wave references it
+    # by segment, so per-wave transfers are only small index arrays.
+    import jax.numpy as jnp
+
+    if lib_at:
+        lib_dev = (
+            jnp.asarray(np.concatenate(lib_pa_parts)),
+            jnp.asarray(np.concatenate(lib_pb_parts)),
+            jnp.asarray(np.concatenate(lib_w_parts)),
+        )
+    else:
+        lib_dev = (
+            jnp.zeros(1, jnp.int32),
+            jnp.zeros(1, jnp.int32),
+            jnp.zeros(1, jnp.float32),
+        )
+
     pending = [gi for gi in active if state[gi]["merges"]]
     while pending:
-        wave, costs, las, lbs, los = [], [], [], [], []
+        wave, descs = [], []
         trivial = []  # merges with an empty side need no DP
         for gi in pending:
             st = state[gi]
@@ -345,15 +438,11 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
                 trivial.append((gi, a, b))
                 continue
             with profiler("msa.merge_cost"):
-                cost, la, lb, lo = _merge_cost(pa, pb, st["lib"], bandwidth)
+                descs.append(_merge_descriptor(gi, pa, pb, pair_seg, bandwidth))
             wave.append((gi, a, b))
-            costs.append(cost)
-            las.append(la)
-            lbs.append(lb)
-            los.append(lo)
 
         with profiler("msa.merge_kernel"):
-            paths = banded_profile_merge_many(costs, las, lbs, los)
+            paths = _run_merge_wave(lib_dev, wave, descs)
         for (gi, a, b), (ai, bi) in zip(wave, paths):
             st = state[gi]
             st["profiles"][st["nxt"]] = _apply_merge(

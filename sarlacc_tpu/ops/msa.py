@@ -492,3 +492,183 @@ def _merge_bucket(costs, las, lbs, los, rows_b, W_b):
 def banded_profile_merge(cost: np.ndarray, la: int, lb: int, lo: int):
     """One merge (P=1 convenience wrapper): returns the matched column pairs."""
     return banded_profile_merge_many([cost], [la], [lb], [lo])[0]
+
+
+@jax.jit
+def _merge_walk_kernel(dirs, lens_a, lens_b, lo):
+    """On-device walk for profile merges (choice-only: 0 diag, 1 horiz, 2 vert).
+
+    Returns (ai [P, rows+1], bi [P, rows+1], cnt [P]) in reverse path order.
+    """
+    rows, P, W = dirs.shape
+    flat = dirs.transpose(1, 0, 2).reshape(P, rows * W)
+    parr = jnp.arange(P)
+    cap = rows + 1
+
+    i0 = jnp.asarray(lens_a, jnp.int32)
+    j0 = jnp.asarray(lens_b, jnp.int32)
+    cnt0 = jnp.zeros(P, jnp.int32)
+    ai0 = jnp.zeros((P, cap + 1), jnp.int32)
+    bi0 = jnp.zeros((P, cap + 1), jnp.int32)
+    max_steps = int(rows) * 2 + int(W)
+
+    def cond(c):
+        i, j, cnt, ai, bi, it = c
+        return jnp.logical_and(jnp.any(jnp.logical_and(i > 0, j > 0)), it < max_steps)
+
+    def step(c):
+        i, j, cnt, ai, bi, it = c
+        active = jnp.logical_and(i > 0, j > 0)
+        k = jnp.clip(j - i - lo, 0, W - 1)
+        idx = jnp.clip((i - 1) * W + k, 0, rows * W - 1)
+        d = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0].astype(jnp.int32)
+        diag = active & (d == 0)
+        horiz = active & (d == 1)
+        vert = active & (d == 2)
+        wslot = jnp.where(diag, cnt, cap)
+        ai = ai.at[parr, wslot].set(i)
+        bi = bi.at[parr, wslot].set(j)
+        cnt = cnt + diag
+        i = i - (diag | vert)
+        j = j - (diag | horiz)
+        return i, j, cnt, ai, bi, it + 1
+
+    _, _, cnt, ai, bi, _ = jax.lax.while_loop(
+        cond, step, (i0, j0, cnt0, ai0, bi0, jnp.int32(0))
+    )
+    return ai[:, :cap], bi[:, :cap], cnt
+
+
+@functools.partial(jax.jit, static_argnames=("P", "rows", "width", "E", "S"))
+def _merge_from_library_kernel(
+    lib_pa, lib_pb, lib_w,  # [T] device-resident library (uploaded once)
+    seg_start, seg_len, seg_cum, seg_merge, seg_aoff, seg_boff, seg_swap,  # [S]
+    p2ca, p2cb,  # flat position->column maps (0 = unmapped)
+    la, lb, lo, kmax,  # [P]
+    P: int, rows: int, width: int, E: int, S: int,
+):
+    """Build the wave's cost planes on device by scattering library entries
+    through the profiles' position->column maps, then run the merge DP and
+    the device walk.  Per-wave host->device traffic is only the small
+    segment/column-map arrays — the library itself never re-uploads.
+    """
+    e = jnp.arange(E, dtype=jnp.int32)
+    seg_id = jnp.clip(
+        jnp.searchsorted(seg_cum, e, side="right"), 0, S - 1
+    ).astype(jnp.int32)
+    base = seg_cum[seg_id] - seg_len[seg_id]
+    within = e - base
+    t = jnp.clip(seg_start[seg_id] + within, 0, lib_pa.shape[0] - 1)
+    total = seg_cum[S - 1]
+    valid_e = e < total
+
+    sw = seg_swap[seg_id] == 1
+    pa_raw = lib_pa[t]
+    pb_raw = lib_pb[t]
+    pa_e = jnp.where(sw, pb_raw, pa_raw)  # position on the A-side member
+    pb_e = jnp.where(sw, pa_raw, pb_raw)
+    w_e = lib_w[t]
+    ci = p2ca[jnp.clip(seg_aoff[seg_id] + pa_e, 0, p2ca.shape[0] - 1)]
+    cj = p2cb[jnp.clip(seg_boff[seg_id] + pb_e, 0, p2cb.shape[0] - 1)]
+    m = seg_merge[seg_id]
+    k = cj - ci - lo[m]
+    ok = (
+        valid_e
+        & (ci >= 1)
+        & (cj >= 1)
+        & (k >= 0)
+        & (k <= kmax[m])
+        & (k < width)
+        & (ci <= rows)
+    )
+    cost = jnp.full((P, rows, width), NEG, jnp.float32)
+    # Initialize the valid in-band region to 0 so the DP sees real zeros.
+    karr = jnp.arange(width, dtype=jnp.int32)
+    in_band = karr[None, None, :] <= kmax[:, None, None]
+    live_rows = jnp.arange(1, rows + 1, dtype=jnp.int32)[None, :, None] <= la[:, None, None]
+    cost = jnp.where(in_band & live_rows, 0.0, cost)
+    cost = cost.at[
+        jnp.where(ok, m, P),
+        jnp.clip(ci - 1, 0, rows - 1),
+        jnp.clip(k, 0, width - 1),
+    ].add(jnp.where(ok, w_e, 0.0), mode="drop")
+
+    _, dirs = _profile_merge_kernel(cost, la, lb, lo, kmax, rows=rows, width=width)
+    return _merge_walk_kernel(dirs, la, lb, lo)
+
+
+def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
+    """Run one shape-class wave of profile merges against the device library.
+
+    ``lib_dev`` = (lib_pa, lib_pb, lib_w) device arrays (uploaded once per
+    multi_read_align call).  ``merges_desc`` is a list of dicts with keys
+    ``la, lb, lo, kmax, segments, p2ca, p2cb`` where ``segments`` is a list
+    of (start, length, aoff, boff, swap) tuples referencing the library and
+    the merge-local concatenated column maps.  Returns [(ai, bi)] per merge.
+    """
+    P = len(merges_desc)
+    if P == 0:
+        return []
+
+    def _bkt(x, base):
+        b = base
+        while b < x:
+            b *= 2
+        return b
+
+    Pp = _bkt(P, 4)
+    la = np.zeros(Pp, np.int32)
+    lb = np.zeros(Pp, np.int32)
+    lo = np.zeros(Pp, np.int32)
+    kmax = np.zeros(Pp, np.int32)
+    segs = []
+    p2ca_parts, p2cb_parts = [], []
+    aoff_global = boff_global = 0
+    for m, d in enumerate(merges_desc):
+        la[m], lb[m], lo[m], kmax[m] = d["la"], d["lb"], d["lo"], d["kmax"]
+        for (start, length, aoff, boff, swap) in d["segments"]:
+            segs.append(
+                (start, length, m, aoff_global + aoff, boff_global + boff, swap)
+            )
+        p2ca_parts.append(d["p2ca"])
+        p2cb_parts.append(d["p2cb"])
+        aoff_global += d["p2ca"].size
+        boff_global += d["p2cb"].size
+
+    S = _bkt(max(len(segs), 1), 8)
+    seg_start = np.zeros(S, np.int64)
+    seg_len = np.zeros(S, np.int64)
+    seg_merge = np.zeros(S, np.int32)
+    seg_aoff = np.zeros(S, np.int64)
+    seg_boff = np.zeros(S, np.int64)
+    seg_swap = np.zeros(S, np.int32)
+    for i, (st, ln, m, ao, bo, sw) in enumerate(segs):
+        seg_start[i] = st
+        seg_len[i] = ln
+        seg_merge[i] = m
+        seg_aoff[i] = ao
+        seg_boff[i] = bo
+        seg_swap[i] = sw
+    seg_cum = np.cumsum(seg_len)
+
+    p2ca = np.concatenate(p2ca_parts) if p2ca_parts else np.zeros(1, np.int32)
+    p2cb = np.concatenate(p2cb_parts) if p2cb_parts else np.zeros(1, np.int32)
+    E = _bkt(max(int(seg_cum[-1]), 1), 1024)
+
+    ai, bi, cnt = _merge_from_library_kernel(
+        *lib_dev,
+        jnp.asarray(seg_start), jnp.asarray(seg_len), jnp.asarray(seg_cum),
+        jnp.asarray(seg_merge), jnp.asarray(seg_aoff), jnp.asarray(seg_boff),
+        jnp.asarray(seg_swap),
+        jnp.asarray(p2ca, jnp.int32), jnp.asarray(p2cb, jnp.int32),
+        jnp.asarray(la), jnp.asarray(lb), jnp.asarray(lo), jnp.asarray(kmax),
+        P=Pp, rows=rows_b, width=W_b, E=E, S=S,
+    )
+    ai = np.asarray(ai)
+    bi = np.asarray(bi)
+    cnt = np.asarray(cnt)
+    out = []
+    for m in range(P):
+        c = int(cnt[m])
+        out.append((ai[m, :c][::-1].copy(), bi[m, :c][::-1].copy()))
+    return out
