@@ -392,12 +392,28 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
     lib_pa_parts, lib_pb_parts, lib_w_parts = [], [], []
     pair_seg: dict = {}
     lib_at = 0
+
+    # Triplet extension per group in a thread pool: the C++ call releases
+    # the GIL, so groups extend concurrently.
+    with profiler("msa.triplet"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            extended = list(
+                pool.map(
+                    lambda pos: _triplet_extension(
+                        libs[pos], by_group[active[pos]].size,
+                        lengths[by_group[active[pos]]],
+                    ),
+                    range(len(active)),
+                )
+            )
+
     for pos, gi in enumerate(active):
         idx = by_group[gi]
         g = idx.size
         lens_local = lengths[idx]
-        with profiler("msa.triplet"):
-            lib = _triplet_extension(libs[pos], g, lens_local)
+        lib = extended[pos]
         for (x, y), (epa, epb, ew) in sorted(lib.items()):
             lib_pa_parts.append(epa.astype(np.int32))
             lib_pb_parts.append(epb.astype(np.int32))
