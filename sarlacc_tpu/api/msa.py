@@ -14,7 +14,8 @@ SeqAn call (src/quick_msa.cpp:25-75, R/multiReadAlign.R:7-48):
    default guide tree for ``globalMsaAlignment``).
 4. **Progressive merges** — profile-profile maximal-weighted-trace DP with
    library-sum column scores and zero gap cost, banded, on device
-   (:func:`..ops.msa.banded_profile_merge_many`).
+   (:func:`..ops.msa.merge_wave_from_library` — the consistency
+   library stays device-resident).
 
 Two deliberate deviations from the reference, both documented:
 
@@ -34,7 +35,7 @@ import numpy as np
 
 from ..core.encode import SeqBatch
 from ..core.frame import Frame
-from ..ops.msa import banded_pair_align, banded_profile_merge_many
+from ..ops.msa import banded_pair_align
 from ..refimpl.masking import unmask_alignment
 from .umi import quality_mask
 from ..utils.profiling import profiled
@@ -223,39 +224,6 @@ class _Profile:
     @classmethod
     def leaf(cls, m: int, length: int) -> "_Profile":
         return cls([m], [np.arange(1, length + 1, dtype=np.int32)])
-
-
-def _merge_cost(pa: _Profile, pb: _Profile, lib, bandwidth: int):
-    """Library-sum column-score plane for one pending merge."""
-    la, lb = pa.ncols, pb.ncols
-    diff = lb - la
-    lo = min(0, diff) - bandwidth
-    hi = max(0, diff) + bandwidth
-    W = hi - lo + 1
-    cost = np.zeros((la, W), dtype=np.float32)
-
-    for mi, a in enumerate(pa.members):
-        # position -> column lookup for A member.
-        p2c_a = np.zeros(int(pa.col2pos[mi].max(initial=0)) + 1, dtype=np.int32)
-        nz = pa.col2pos[mi] > 0
-        p2c_a[pa.col2pos[mi][nz]] = np.flatnonzero(nz).astype(np.int32) + 1
-        for mj, b in enumerate(pb.members):
-            entry = _get_lib(lib, a, b)
-            if entry is None or entry[0].size == 0:
-                continue
-            qa, qb, w = entry
-            p2c_b = np.zeros(int(pb.col2pos[mj].max(initial=0)) + 1, dtype=np.int32)
-            nzb = pb.col2pos[mj] > 0
-            p2c_b[pb.col2pos[mj][nzb]] = np.flatnonzero(nzb).astype(np.int32) + 1
-            ci = p2c_a[qa]  # 1-based A columns
-            cj = p2c_b[qb]
-            from ..native import accumulate_cost_native
-
-            if not accumulate_cost_native(ci, cj, w, lo, la, W, cost):
-                k = cj - ci - lo
-                ok = (k >= 0) & (k < W) & (ci >= 1)
-                np.add.at(cost, (ci[ok] - 1, k[ok]), w[ok])
-    return cost, la, lb, lo
 
 
 def _apply_merge(pa: _Profile, pb: _Profile, ai, bi) -> _Profile:

@@ -153,3 +153,12 @@ def test_pallas_banded_pair_parity(rng):
     d_pal = np.asarray(d_pal)
     live = (np.arange(1, rows + 1)[:, None] <= lens_a[None, :])[:, :, None]
     assert np.array_equal(np.where(live, d_ref, 0), np.where(live, d_pal, 0))
+
+
+def test_msa_deterministic(rng):
+    ref = "".join(rng.choice(list("ACGT"), 150))
+    seqs = noisy_copies(rng, ref, 6)
+    batch = SeqBatch.from_strings(seqs, ["I" * len(s) for s in seqs])
+    a = multi_read_align(batch, bandwidth=40)["alignments"][0]
+    b = multi_read_align(batch, bandwidth=40)["alignments"][0]
+    assert a == b
