@@ -410,35 +410,49 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
             jnp.zeros(1, jnp.float32),
         )
 
-    pending = [gi for gi in active if state[gi]["merges"]]
+    # Readiness-scheduled waves: each wave batches EVERY merge (across all
+    # groups) whose operand profiles both exist — disjoint subtrees of one
+    # guide tree merge concurrently, so the number of waves is the deepest
+    # tree depth, not the merge count.
+    for gi in active:
+        st = state[gi]
+        st["node_of_merge"] = {
+            k: st["nxt"] + k for k in range(len(st["merges"]))
+        }
+        st["todo"] = list(range(len(st["merges"])))
+
+    pending = [gi for gi in active if state[gi]["todo"]]
     while pending:
         wave, descs = [], []
         trivial = []  # merges with an empty side need no DP
         for gi in pending:
             st = state[gi]
-            a, b = st["merges"][st["at"]]
-            pa, pb = st["profiles"][a], st["profiles"][b]
-            if pa.ncols == 0 or pb.ncols == 0:
-                trivial.append((gi, a, b))
-                continue
-            with profiler("msa.merge_cost"):
-                descs.append(_merge_descriptor(gi, pa, pb, pair_seg, bandwidth))
-            wave.append((gi, a, b))
+            for k in list(st["todo"]):
+                a, b = st["merges"][k]
+                if a not in st["profiles"] or b not in st["profiles"]:
+                    continue
+                pa, pb = st["profiles"][a], st["profiles"][b]
+                if pa.ncols == 0 or pb.ncols == 0:
+                    trivial.append((gi, k, a, b))
+                else:
+                    with profiler("msa.merge_cost"):
+                        descs.append(
+                            _merge_descriptor(gi, pa, pb, pair_seg, bandwidth)
+                        )
+                    wave.append((gi, k, a, b))
 
         with profiler("msa.merge_kernel"):
             paths = _run_merge_wave(lib_dev, wave, descs)
-        for (gi, a, b), (ai, bi) in zip(wave, paths):
+        for (gi, k, a, b), (ai, bi) in zip(wave, paths):
             st = state[gi]
-            st["profiles"][st["nxt"]] = _apply_merge(
+            st["profiles"][st["node_of_merge"][k]] = _apply_merge(
                 st["profiles"][a], st["profiles"][b], ai, bi
             )
             del st["profiles"][a], st["profiles"][b]
-            st["nxt"] += 1
-            st["at"] += 1
-        for gi, a, b in trivial:
+            st["todo"].remove(k)
+        for gi, k, a, b in trivial:
             st = state[gi]
             pa, pb = st["profiles"][a], st["profiles"][b]
-            merged = pb if pa.ncols == 0 else pa
             if pa.ncols == 0:
                 merged = _Profile(pa.members + pb.members,
                                   [np.zeros(pb.ncols, np.int32)] * len(pa.members)
@@ -447,17 +461,21 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
                 merged = _Profile(pa.members + pb.members,
                                   pa.col2pos
                                   + [np.zeros(pa.ncols, np.int32)] * len(pb.members))
-            st["profiles"][st["nxt"]] = merged
+            st["profiles"][st["node_of_merge"][k]] = merged
             del st["profiles"][a], st["profiles"][b]
-            st["nxt"] += 1
-            st["at"] += 1
-        pending = [gi for gi in pending if state[gi]["at"] < len(state[gi]["merges"])]
+            st["todo"].remove(k)
+        pending = [gi for gi in pending if state[gi]["todo"]]
 
     for gi in active:
         st = state[gi]
         idx = by_group[gi]
         g = idx.size
-        final = st["profiles"][st["nxt"] - 1] if st["merges"] else st["profiles"][0]
+        final_id = (
+            st["node_of_merge"][len(st["merges"]) - 1]
+            if st["merges"]
+            else 0
+        )
+        final = st["profiles"][final_id]
         out = [""] * g
         order = {m: r for r, m in enumerate(final.members)}
         for m in range(g):
