@@ -83,8 +83,13 @@ def qmap_walk_device(dirs, lengths):
         col = jnp.where(diag | left_new | left_cont, col - 1, col)
         return col, row, rc, om, orow, it + 1
 
+    def multi_step(carry):
+        # 8 walk steps per while iteration: finished reads no-op, and the
+        # per-iteration dispatch overhead dominates on the remote backend.
+        return jax.lax.fori_loop(0, 8, lambda _, c: step(c), carry)
+
     _, _, _, om, orow, _ = jax.lax.while_loop(
-        cond, step, (col0, row0, rc0, om0, or0, jnp.int32(0))
+        cond, multi_step, (col0, row0, rc0, om0, or0, jnp.int32(0))
     )
     return om[:, : R + 1], orow[:, : R + 1]
 

@@ -211,8 +211,11 @@ def _pair_walk_kernel(dirs, lens_a, lens_b, lo):
         j = j - (diag | horiz)
         return i, j, st, cnt, ai, bi, it + 1
 
+    def multi_step(carry):
+        return jax.lax.fori_loop(0, 8, lambda _, c: step(c), carry)
+
     _, _, _, cnt, ai, bi, _ = jax.lax.while_loop(
-        cond, step, (i0, j0, st0, cnt0, ai0, bi0, jnp.int32(0))
+        cond, multi_step, (i0, j0, st0, cnt0, ai0, bi0, jnp.int32(0))
     )
     return ai[:, :cap], bi[:, :cap], cnt
 
@@ -533,8 +536,11 @@ def _merge_walk_kernel(dirs, lens_a, lens_b, lo):
         j = j - (diag | horiz)
         return i, j, cnt, ai, bi, it + 1
 
+    def multi_step(carry):
+        return jax.lax.fori_loop(0, 8, lambda _, c: step(c), carry)
+
     _, _, cnt, ai, bi, _ = jax.lax.while_loop(
-        cond, step, (i0, j0, cnt0, ai0, bi0, jnp.int32(0))
+        cond, multi_step, (i0, j0, cnt0, ai0, bi0, jnp.int32(0))
     )
     return ai[:, :cap], bi[:, :cap], cnt
 
