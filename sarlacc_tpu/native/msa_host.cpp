@@ -18,7 +18,6 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
-#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -106,15 +105,11 @@ int64_t triplet_extend(
     int32_t* out_px, int32_t* out_py, int64_t* out_off,
     int32_t* out_pa, int32_t* out_pb, float* out_w, int64_t cap)
 {
-    // lib[x][y] -> pair row id (or -1).
-    std::vector<int32_t> pairid((size_t)g * g, -1);
-    for (int64_t p = 0; p < npairs; ++p) {
-        pairid[(size_t)px[p] * g + py[p]] = (int32_t)p;
-        pairid[(size_t)py[p] * g + px[p]] = (int32_t)p;
-    }
-
-    // Accumulator per (x, y): map keyed by pa * (maxpos+1) + pb.
-    // Positions are bounded by the longest sequence; compute a stride.
+    // Pairwise alignment paths are monotone 1:1 maps, so the consistency
+    // composition x~z~y is a direct two-step array lookup — no sorted joins
+    // or hash maps.  Dense ordered-pair base maps:
+    //   mpos[(x*g+z)*stride + a] = position on z aligned to position a on x
+    //   mwt [(x*g+z)*stride + a] = that entry's weight
     int32_t maxpos = 1;
     for (int64_t t = 0; t < off[npairs]; ++t) {
         if (pa[t] > maxpos) maxpos = pa[t];
@@ -122,100 +117,82 @@ int64_t triplet_extend(
     }
     const int64_t stride = (int64_t)maxpos + 1;
 
-    std::vector<std::unordered_map<int64_t, double>> acc((size_t)g * g);
-    auto accumulate = [&](int32_t x, int32_t y, int32_t a_, int32_t b_, double ww) {
-        if (x > y) { std::swap(x, y); std::swap(a_, b_); }
-        acc[(size_t)x * g + y][(int64_t)a_ * stride + b_] += ww;
+    std::vector<int32_t> mpos((size_t)g * g * stride, 0);
+    std::vector<float> mwt((size_t)g * g * stride, 0.f);
+    auto base_of = [&](int32_t a, int32_t b) -> int64_t {
+        return ((int64_t)a * g + b) * stride;
     };
-
-    // Base entries.
     for (int64_t p = 0; p < npairs; ++p) {
+        const int64_t bx = base_of(px[p], py[p]);
+        const int64_t by = base_of(py[p], px[p]);
         for (int64_t t = off[p]; t < off[p + 1]; ++t) {
-            accumulate(px[p], py[p], pa[t], pb[t], (double)w[t]);
+            mpos[bx + pa[t]] = pb[t]; mwt[bx + pa[t]] = w[t];
+            mpos[by + pb[t]] = pa[t]; mwt[by + pb[t]] = w[t];
         }
     }
 
-    // For the join we need, per pair (x, z): entries sorted by z-position
-    // with the partner position. Build per-ordered-pair views.
-    struct View {
-        std::vector<int32_t> zpos, other;
-        std::vector<float> wt;
-    };
-    // view[x*g+z]: sorted by position-on-z.
-    std::vector<View> view((size_t)g * g);
-    for (int64_t p = 0; p < npairs; ++p) {
-        int32_t x = px[p], y = py[p];
-        int64_t cnt = off[p + 1] - off[p];
-        View& vxy = view[(size_t)x * g + y];  // keyed by pos on y
-        View& vyx = view[(size_t)y * g + x];  // keyed by pos on x
-        vxy.zpos.reserve(cnt); vxy.other.reserve(cnt); vxy.wt.reserve(cnt);
-        vyx.zpos.reserve(cnt); vyx.other.reserve(cnt); vyx.wt.reserve(cnt);
-        for (int64_t t = off[p]; t < off[p + 1]; ++t) {
-            vxy.zpos.push_back(pb[t]); vxy.other.push_back(pa[t]); vxy.wt.push_back(w[t]);
-            vyx.zpos.push_back(pa[t]); vyx.other.push_back(pb[t]); vyx.wt.push_back(w[t]);
-        }
-        // Alignment paths are monotone, so vxy is already sorted by pb and
-        // vyx by pa.
-    }
-
-    // Triplets: for every middle z and x < y (both != z), join on z position.
-    for (int32_t z = 0; z < g; ++z) {
-        for (int32_t x = 0; x < g; ++x) {
-            if (x == z) continue;
-            const View& vx = view[(size_t)x * g + z];
-            if (vx.zpos.empty()) continue;
-            for (int32_t y = x + 1; y < g; ++y) {
-                if (y == z) continue;
-                const View& vyz = view[(size_t)y * g + z];  // keyed by pos on z
-                if (vyz.zpos.empty()) continue;
-                size_t i = 0, j = 0;
-                while (i < vx.zpos.size() && j < vyz.zpos.size()) {
-                    int32_t zi = vx.zpos[i], zj = vyz.zpos[j];
-                    if (zi < zj) ++i;
-                    else if (zj < zi) ++j;
-                    else {
-                        double ww = std::min(vx.wt[i], vyz.wt[j]);
-                        accumulate(x, y, vx.other[i], vyz.other[j], ww);
-                        ++i; ++j;
-                    }
-                }
-            }
-        }
-    }
-
-    // Emit.
-    int64_t total = 0;
-    for (int32_t x = 0; x < g; ++x)
-        for (int32_t y = x + 1; y < g; ++y)
-            total += (int64_t)acc[(size_t)x * g + y].size();
-    if (total > cap) return -total;
-
-    int64_t at = 0;
-    int64_t pr = 0;
-    std::vector<std::pair<int64_t, double>> buf;
+    // Per pair (x < y): gather candidate (a, b, w) triples — the base
+    // entries plus one composed set per middle z — then sort by (a, b) and
+    // sum duplicates.  Each z contributes at most one b per a, so the
+    // candidate list is <= (g-1) * stride long.
+    int64_t at = 0, pr = 0, needed = 0;
+    bool overflow = false;
+    std::vector<std::pair<int64_t, float>> buf;
+    buf.reserve((size_t)g * stride);
     for (int32_t x = 0; x < g; ++x) {
         for (int32_t y = x + 1; y < g; ++y) {
-            auto& m = acc[(size_t)x * g + y];
-            if (m.empty()) continue;
-            buf.assign(m.begin(), m.end());
-            std::sort(buf.begin(), buf.end());
-            out_px[pr] = x;
-            out_py[pr] = y;
-            out_off[pr] = at;
-            for (auto& kv : buf) {
-                out_pa[at] = (int32_t)(kv.first / stride);
-                out_pb[at] = (int32_t)(kv.first % stride);
-                out_w[at] = (float)kv.second;
+            buf.clear();
+            const int32_t* bp = &mpos[base_of(x, y)];
+            const float* bw = &mwt[base_of(x, y)];
+            for (int64_t a = 1; a < stride; ++a)
+                if (bp[a]) buf.emplace_back(a * stride + bp[a], bw[a]);
+            for (int32_t z = 0; z < g; ++z) {
+                if (z == x || z == y) continue;
+                const int32_t* xz = &mpos[base_of(x, z)];
+                const float* xw = &mwt[base_of(x, z)];
+                const int32_t* zy = &mpos[base_of(z, y)];
+                const float* zw = &mwt[base_of(z, y)];
+                for (int64_t a = 1; a < stride; ++a) {
+                    const int32_t k = xz[a];
+                    if (!k) continue;
+                    const int32_t b = zy[k];
+                    if (!b) continue;
+                    buf.emplace_back(a * stride + b, std::min(xw[a], zw[k]));
+                }
+            }
+            if (buf.empty()) continue;
+            std::sort(buf.begin(), buf.end(),
+                      [](const std::pair<int64_t, float>& l,
+                         const std::pair<int64_t, float>& r) {
+                          return l.first < r.first;
+                      });
+            if (!overflow) {
+                out_px[pr] = x;
+                out_py[pr] = y;
+                out_off[pr] = at;
+            }
+            size_t i = 0;
+            while (i < buf.size()) {
+                const int64_t key = buf[i].first;
+                double ww = 0.0;
+                while (i < buf.size() && buf[i].first == key) {
+                    ww += buf[i].second;
+                    ++i;
+                }
+                ++needed;
+                if (at >= cap) { overflow = true; continue; }
+                out_pa[at] = (int32_t)(key / stride);
+                out_pb[at] = (int32_t)(key % stride);
+                out_w[at] = (float)ww;
                 ++at;
             }
-            ++pr;
+            if (!overflow) ++pr;
         }
     }
+    if (overflow) return -needed;
     out_off[pr] = at;
-    // Encode the pair count in the upper bits? Keep it simple: the caller
-    // knows pr from scanning out_off; we return entries and set the last
-    // offset slot; pair count returned via out_px sentinel is avoided by
-    // returning (pr << 40) | at  — at < 2^40 always here.
+    // Return (pair count << 40) | entry count; entry counts stay far below
+    // 2^40 here.
     return ((int64_t)pr << 40) | at;
 }
 

@@ -156,68 +156,114 @@ def _banded_pair_kernel(
 
 @jax.jit
 def _pair_walk_kernel(dirs, lens_a, lens_b, lo):
-    """Batched on-device Gotoh walk over the banded direction tensor.
+    """Batched on-device Gotoh walk, row-synchronized.
 
-    Ships only the matched (ai, bi) position pairs back to the host — the
-    [rows, P, W] tensor itself stays in HBM (the remote-chip tunnel moves
-    ~25 MB/s, so transferring it dominates everything else).
+    A cell-at-a-time walk pays one big-table gather per step — XLA lowers a
+    [P, rows*W] gather to a full masked reduction (~50 us/step on TPU), so
+    path-length many steps dominate the whole MSA.  Walking row-by-row
+    instead lets ``lax.scan`` hand each step its row's direction slice for
+    free; horizontal-gap runs resolve in one ``cummax`` over the row, and
+    every remaining lookup is a small [P, W] gather.  The walker is at row
+    ``r`` exactly at scan step ``r`` because every row exit (diag or vert)
+    decrements the row by one.
 
-    Returns (ai [P, rows+1] int32, bi [P, rows+1] int32, cnt [P]) with the
-    matched pairs stored in reverse path order; positions are 1-based.
+    Returns jmat [rows, P] int32: for DP row i (1-based, stored at i-1) the
+    matched B-position j if the path aligned (i, j), else 0 — ascending row
+    order is ascending path order.
     """
     rows, P, W = dirs.shape
-    flat = dirs.transpose(1, 0, 2).reshape(P, rows * W)
-    parr = jnp.arange(P)
-    cap = rows + 1
+    lens_a = jnp.asarray(lens_a, jnp.int32)
+    lens_b = jnp.asarray(lens_b, jnp.int32)
+    lo = jnp.asarray(lo, jnp.int32)
+    karr = jnp.arange(W, dtype=jnp.int32)[None, :]
+    k0 = lens_b - lens_a - lo  # band coordinate at (la, lb)
 
-    i0 = jnp.asarray(lens_a, jnp.int32)
-    j0 = jnp.asarray(lens_b, jnp.int32)
-    st0 = jnp.zeros(P, jnp.int32)
-    cnt0 = jnp.zeros(P, jnp.int32)
-    ai0 = jnp.zeros((P, cap + 1), jnp.int32)
-    bi0 = jnp.zeros((P, cap + 1), jnp.int32)
+    def gather_k(mat, k):
+        return jnp.take_along_axis(mat, jnp.clip(k, 0, W - 1)[:, None], axis=1)[:, 0]
 
-    max_steps = int(rows) + int(W) + int(rows)  # la + lb bound
+    def row_step(carry, xs):
+        k, st, dead = carry  # st: 0 = S, 2 = V (H never crosses rows)
+        d_row, r = xs
+        d_row = d_row.astype(jnp.int32)
+        kz = -(r + lo)  # band coordinate where j == 0 on this row
 
-    def cond(c):
-        i, j, st, cnt, ai, bi, it = c
-        return jnp.logical_and(jnp.any(jnp.logical_and(i > 0, j > 0)), it < max_steps)
+        start = lens_a == r
+        k = jnp.where(start, k0, k)
+        st = jnp.where(start, 0, st)
+        j_in = r + lo + k
+        act = (r <= lens_a) & ~dead & (j_in > 0) & (lens_b > 0)
 
-    def step(c):
-        i, j, st, cnt, ai, bi, it = c
-        active = jnp.logical_and(i > 0, j > 0)
-        k = jnp.clip(j - i - lo, 0, W - 1)
-        idx = jnp.clip((i - 1) * W + k, 0, rows * W - 1)
-        d = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0].astype(jnp.int32)
+        choice = d_row & 3
+        hext = (d_row >> 2) & 1
+        vext = (d_row >> 3) & 1
+        # pz_h[k]: largest k' <= k whose hext is 0 — an H-run starting at k
+        # ends one column below that cell (reference semantics: state stays H
+        # while the *current* cell's extend bit is set).
+        pz_h = jax.lax.cummax(jnp.where(hext == 0, karr, -1), axis=1)
 
-        stn = jnp.where(st == 0, d & 3, st)
-        diag = active & (stn == 0)
-        horiz = active & (stn == 1)
-        vert = active & (stn == 2)
+        # V-state pairs: exactly one vertical move this row.
+        is_v = act & (st == 2)
+        v_vext = gather_k(vext, k)
 
-        wslot = jnp.where(diag, cnt, cap)
-        ai = ai.at[parr, wslot].set(i)
-        bi = bi.at[parr, wslot].set(j)
-        cnt = cnt + diag
+        # S-state pairs: resolve the within-row choice/H-run chain.
+        is_s = act & (st == 0)
+        f = jnp.zeros(P, dtype=bool)
 
-        hext = (d >> 2) & 1
-        vext = (d >> 3) & 1
-        st = jnp.where(
-            diag, 0,
-            jnp.where(horiz, jnp.where(hext == 1, 1, 0),
-                      jnp.where(vert, jnp.where(vext == 1, 2, 0), st)),
+        def cond(c):
+            return jnp.any(c[0])
+
+        def body(c):
+            unresolved, kk, exit_diag, exit_vert, dd = c
+            ch = gather_k(choice, kk)
+            dg = unresolved & (ch == 0)
+            vt = unresolved & (ch == 2)
+            hz = unresolved & (ch == 1)
+            kend = gather_k(pz_h, kk) - 1
+            knew = jnp.where(hz, kend, kk)
+            died = hz & ((knew <= kz) | (knew < 0))
+            return (
+                unresolved & ~dg & ~vt & ~died,
+                knew,
+                exit_diag | dg,
+                exit_vert | vt,
+                dd | died,
+            )
+
+        _, k_s, exit_diag, exit_vert, died_s = jax.lax.while_loop(
+            cond, body, (is_s, k, f, f, f)
         )
-        i = i - (diag | vert)
-        j = j - (diag | horiz)
-        return i, j, st, cnt, ai, bi, it + 1
 
-    def multi_step(carry):
-        return jax.lax.fori_loop(0, 8, lambda _, c: step(c), carry)
+        j_emit = jnp.where(exit_diag, r + lo + k_s, 0)
+        s_vext = gather_k(vext, k_s)
+        k_after_s = jnp.where(exit_vert, k_s + 1, k_s)
+        st_after_s = jnp.where(exit_vert & (s_vext == 1), 2, 0)
 
-    _, _, _, cnt, ai, bi, _ = jax.lax.while_loop(
-        cond, multi_step, (i0, j0, st0, cnt0, ai0, bi0, jnp.int32(0))
+        k_next = jnp.where(is_v, k + 1, jnp.where(is_s, k_after_s, k))
+        st_next = jnp.where(
+            is_v,
+            jnp.where(v_vext == 1, 2, 0),
+            jnp.where(is_s, st_after_s, st),
+        )
+        return (k_next, st_next, dead | died_s), j_emit
+
+    xs = (dirs, jnp.arange(1, rows + 1, dtype=jnp.int32))
+    init = (
+        jnp.zeros(P, jnp.int32),
+        jnp.zeros(P, jnp.int32),
+        jnp.zeros(P, dtype=bool),
     )
-    return ai[:, :cap], bi[:, :cap], cnt
+    _, jmat = jax.lax.scan(row_step, init, xs, reverse=True)
+    return jmat
+
+
+def _compact_jmat(jmat: np.ndarray, n: int) -> list:
+    """[(ai, bi)] matched-position pairs (ascending) from a walk's jmat."""
+    out = []
+    for q in range(n):
+        col = jmat[:, q]
+        rr = np.flatnonzero(col)
+        out.append(((rr + 1).astype(np.int32), col[rr].astype(np.int32)))
+    return out
 
 
 def _run_pair_bucket(
@@ -287,20 +333,14 @@ def _run_pair_bucket(
         )
     from ..utils.profiling import profiler as _prof
 
-    # Walk on device; transfer only the matched position pairs.
+    # Walk on device; transfer only the per-row matched positions.
     with _prof("msa.pair_walk"):
-        ai, bi, cnt = _pair_walk_kernel(
+        jmat = _pair_walk_kernel(
             dirs, jnp.asarray(lens_a_p), jnp.asarray(lens_b_p), jnp.asarray(lo_p)
         )
         scores = np.asarray(scores, np.float64)[:P]
-        ai = np.asarray(ai)[:P]
-        bi = np.asarray(bi)[:P]
-        cnt = np.asarray(cnt)[:P]
-    paths = []
-    for q in range(P):
-        c = int(cnt[q])
-        paths.append((ai[q, :c][::-1].copy(), bi[q, :c][::-1].copy()))
-    return scores, paths
+        jmat = np.asarray(jmat)
+    return scores, _compact_jmat(jmat, P)
 
 
 def banded_pair_align(
@@ -499,50 +539,52 @@ def banded_profile_merge(cost: np.ndarray, la: int, lb: int, lo: int):
 
 @jax.jit
 def _merge_walk_kernel(dirs, lens_a, lens_b, lo):
-    """On-device walk for profile merges (choice-only: 0 diag, 1 horiz, 2 vert).
+    """On-device walk for profile merges (choice-only: 0 diag, 1 horiz,
+    2 vert), row-synchronized like :func:`_pair_walk_kernel`.
 
-    Returns (ai [P, rows+1], bi [P, rows+1], cnt [P]) in reverse path order.
+    Simpler than the Gotoh walk: a horizontal run is the consecutive
+    ``choice == 1`` cells below the entry column and always ends *on* the
+    first non-horizontal cell, which then exits the row via diag or vert.
+
+    Returns jmat [rows, P] int32 (see :func:`_pair_walk_kernel`).
     """
     rows, P, W = dirs.shape
-    flat = dirs.transpose(1, 0, 2).reshape(P, rows * W)
-    parr = jnp.arange(P)
-    cap = rows + 1
+    lens_a = jnp.asarray(lens_a, jnp.int32)
+    lens_b = jnp.asarray(lens_b, jnp.int32)
+    lo = jnp.asarray(lo, jnp.int32)
+    karr = jnp.arange(W, dtype=jnp.int32)[None, :]
+    k0 = lens_b - lens_a - lo
 
-    i0 = jnp.asarray(lens_a, jnp.int32)
-    j0 = jnp.asarray(lens_b, jnp.int32)
-    cnt0 = jnp.zeros(P, jnp.int32)
-    ai0 = jnp.zeros((P, cap + 1), jnp.int32)
-    bi0 = jnp.zeros((P, cap + 1), jnp.int32)
-    max_steps = int(rows) * 2 + int(W)
+    def gather_k(mat, k):
+        return jnp.take_along_axis(mat, jnp.clip(k, 0, W - 1)[:, None], axis=1)[:, 0]
 
-    def cond(c):
-        i, j, cnt, ai, bi, it = c
-        return jnp.logical_and(jnp.any(jnp.logical_and(i > 0, j > 0)), it < max_steps)
+    def row_step(carry, xs):
+        k, dead = carry
+        d_row, r = xs
+        d_row = d_row.astype(jnp.int32)
+        kz = -(r + lo)
 
-    def step(c):
-        i, j, cnt, ai, bi, it = c
-        active = jnp.logical_and(i > 0, j > 0)
-        k = jnp.clip(j - i - lo, 0, W - 1)
-        idx = jnp.clip((i - 1) * W + k, 0, rows * W - 1)
-        d = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0].astype(jnp.int32)
-        diag = active & (d == 0)
-        horiz = active & (d == 1)
-        vert = active & (d == 2)
-        wslot = jnp.where(diag, cnt, cap)
-        ai = ai.at[parr, wslot].set(i)
-        bi = bi.at[parr, wslot].set(j)
-        cnt = cnt + diag
-        i = i - (diag | vert)
-        j = j - (diag | horiz)
-        return i, j, cnt, ai, bi, it + 1
+        start = lens_a == r
+        k = jnp.where(start, k0, k)
+        j_in = r + lo + k
+        act = (r <= lens_a) & ~dead & (j_in > 0) & (lens_b > 0)
 
-    def multi_step(carry):
-        return jax.lax.fori_loop(0, 8, lambda _, c: step(c), carry)
+        # First k' <= k with choice != 1: where the horizontal run ends.
+        pz = jax.lax.cummax(jnp.where(d_row != 1, karr, -1), axis=1)
+        kf = gather_k(pz, k)
+        died = act & ((kf <= kz) | (kf < 0))
+        ok = act & ~died
+        ch = gather_k(d_row, kf)
+        dg = ok & (ch == 0)
+        vt = ok & (ch == 2)
+        j_emit = jnp.where(dg, r + lo + kf, 0)
+        k_next = jnp.where(dg, kf, jnp.where(vt, kf + 1, k))
+        return (k_next, dead | died), j_emit
 
-    _, _, cnt, ai, bi, _ = jax.lax.while_loop(
-        cond, multi_step, (i0, j0, cnt0, ai0, bi0, jnp.int32(0))
-    )
-    return ai[:, :cap], bi[:, :cap], cnt
+    xs = (dirs, jnp.arange(1, rows + 1, dtype=jnp.int32))
+    init = (jnp.zeros(P, jnp.int32), jnp.zeros(P, dtype=bool))
+    _, jmat = jax.lax.scan(row_step, init, xs, reverse=True)
+    return jmat
 
 
 @functools.partial(jax.jit, static_argnames=("P", "rows", "width", "E", "S"))
@@ -661,7 +703,7 @@ def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
     p2cb = np.concatenate(p2cb_parts) if p2cb_parts else np.zeros(1, np.int32)
     E = _bkt(max(int(seg_cum[-1]), 1), 1024)
 
-    ai, bi, cnt = _merge_from_library_kernel(
+    jmat = _merge_from_library_kernel(
         *lib_dev,
         jnp.asarray(seg_start), jnp.asarray(seg_len), jnp.asarray(seg_cum),
         jnp.asarray(seg_merge), jnp.asarray(seg_aoff), jnp.asarray(seg_boff),
@@ -670,11 +712,4 @@ def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
         jnp.asarray(la), jnp.asarray(lb), jnp.asarray(lo), jnp.asarray(kmax),
         P=Pp, rows=rows_b, width=W_b, E=E, S=S,
     )
-    ai = np.asarray(ai)
-    bi = np.asarray(bi)
-    cnt = np.asarray(cnt)
-    out = []
-    for m in range(P):
-        c = int(cnt[m])
-        out.append((ai[m, :c][::-1].copy(), bi[m, :c][::-1].copy()))
-    return out
+    return _compact_jmat(np.asarray(jmat), P)
