@@ -246,14 +246,34 @@ def _pair_walk_kernel(dirs, lens_a, lens_b, lo):
         )
         return (k_next, st_next, dead | died_s), j_emit
 
-    xs = (dirs, jnp.arange(1, rows + 1, dtype=jnp.int32))
     init = (
         jnp.zeros(P, jnp.int32),
         jnp.zeros(P, jnp.int32),
         jnp.zeros(P, dtype=bool),
     )
-    _, jmat = jax.lax.scan(row_step, init, xs, reverse=True)
-    return jmat
+    return _blocked_row_scan(row_step, init, dirs, rows, P)
+
+
+def _blocked_row_scan(row_step, init, dirs, rows, P, block: int = 8):
+    """Run a reverse row walk with ``block`` rows unrolled per scan step.
+
+    Loop iterations are latency-bound (tiny bodies), so fusing 8 rows per
+    step cuts the fixed per-iteration cost 8x.  ``rows`` (a power-of-two
+    bucket) must be divisible by ``block``.
+    """
+    nblk = rows // block
+    dirs_b = dirs.reshape(nblk, block, *dirs.shape[1:])
+    rows_b = jnp.arange(1, rows + 1, dtype=jnp.int32).reshape(nblk, block)
+
+    def blk_step(carry, xs):
+        d_blk, r_blk = xs
+        emits = [None] * block
+        for u in range(block - 1, -1, -1):  # reverse within the block
+            carry, emits[u] = row_step(carry, (d_blk[u], r_blk[u]))
+        return carry, jnp.stack(emits)
+
+    _, jmat = jax.lax.scan(blk_step, init, (dirs_b, rows_b), reverse=True)
+    return jmat.reshape(rows, P)
 
 
 def _compact_jmat(jmat: np.ndarray, n: int) -> list:
@@ -581,10 +601,8 @@ def _merge_walk_kernel(dirs, lens_a, lens_b, lo):
         k_next = jnp.where(dg, kf, jnp.where(vt, kf + 1, k))
         return (k_next, dead | died), j_emit
 
-    xs = (dirs, jnp.arange(1, rows + 1, dtype=jnp.int32))
     init = (jnp.zeros(P, jnp.int32), jnp.zeros(P, dtype=bool))
-    _, jmat = jax.lax.scan(row_step, init, xs, reverse=True)
-    return jmat
+    return _blocked_row_scan(row_step, init, dirs, rows, P)
 
 
 @functools.partial(jax.jit, static_argnames=("P", "rows", "width", "E", "S"))
