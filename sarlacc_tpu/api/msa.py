@@ -377,38 +377,42 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
                 )
             )
 
-    for pos, gi in enumerate(active):
-        idx = by_group[gi]
-        g = idx.size
-        lens_local = lengths[idx]
-        lib = extended[pos]
-        for (x, y), (epa, epb, ew) in sorted(lib.items()):
-            lib_pa_parts.append(epa.astype(np.int32))
-            lib_pb_parts.append(epb.astype(np.int32))
-            lib_w_parts.append(ew.astype(np.float32))
-            pair_seg[(gi, x, y)] = (lib_at, epa.size)
-            lib_at += epa.size
-        merges = _nj_tree(1.0 - idents[pos])
-        profiles = {m: _Profile.leaf(m, int(lens_local[m])) for m in range(g)}
-        state[gi] = {"lib": lib, "merges": merges, "at": 0, "profiles": profiles,
-                     "nxt": g}
+    with profiler("msa.lib_concat"):
+        for pos, gi in enumerate(active):
+            idx = by_group[gi]
+            g = idx.size
+            lens_local = lengths[idx]
+            lib = extended[pos]
+            for (x, y), (epa, epb, ew) in sorted(lib.items()):
+                lib_pa_parts.append(epa.astype(np.int32))
+                lib_pb_parts.append(epb.astype(np.int32))
+                lib_w_parts.append(ew.astype(np.float32))
+                pair_seg[(gi, x, y)] = (lib_at, epa.size)
+                lib_at += epa.size
+            merges = _nj_tree(1.0 - idents[pos])
+            profiles = {m: _Profile.leaf(m, int(lens_local[m])) for m in range(g)}
+            state[gi] = {"lib": lib, "merges": merges, "at": 0,
+                         "profiles": profiles, "nxt": g}
 
     # Upload the concatenated library ONCE; every merge wave references it
     # by segment, so per-wave transfers are only small index arrays.
+    import jax
     import jax.numpy as jnp
 
-    if lib_at:
-        lib_dev = (
-            jnp.asarray(np.concatenate(lib_pa_parts)),
-            jnp.asarray(np.concatenate(lib_pb_parts)),
-            jnp.asarray(np.concatenate(lib_w_parts)),
-        )
-    else:
-        lib_dev = (
-            jnp.zeros(1, jnp.int32),
-            jnp.zeros(1, jnp.int32),
-            jnp.zeros(1, jnp.float32),
-        )
+    with profiler("msa.lib_upload"):
+        if lib_at:
+            lib_dev = (
+                jnp.asarray(np.concatenate(lib_pa_parts)),
+                jnp.asarray(np.concatenate(lib_pb_parts)),
+                jnp.asarray(np.concatenate(lib_w_parts)),
+            )
+        else:
+            lib_dev = (
+                jnp.zeros(1, jnp.int32),
+                jnp.zeros(1, jnp.int32),
+                jnp.zeros(1, jnp.float32),
+            )
+        jax.block_until_ready(lib_dev)
 
     # Readiness-scheduled waves: each wave batches EVERY merge (across all
     # groups) whose operand profiles both exist — disjoint subtrees of one
@@ -443,13 +447,14 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
 
         with profiler("msa.merge_kernel"):
             paths = _run_merge_wave(lib_dev, wave, descs)
-        for (gi, k, a, b), (ai, bi) in zip(wave, paths):
-            st = state[gi]
-            st["profiles"][st["node_of_merge"][k]] = _apply_merge(
-                st["profiles"][a], st["profiles"][b], ai, bi
-            )
-            del st["profiles"][a], st["profiles"][b]
-            st["todo"].remove(k)
+        with profiler("msa.apply_merge"):
+            for (gi, k, a, b), (ai, bi) in zip(wave, paths):
+                st = state[gi]
+                st["profiles"][st["node_of_merge"][k]] = _apply_merge(
+                    st["profiles"][a], st["profiles"][b], ai, bi
+                )
+                del st["profiles"][a], st["profiles"][b]
+                st["todo"].remove(k)
         for gi, k, a, b in trivial:
             st = state[gi]
             pa, pb = st["profiles"][a], st["profiles"][b]
@@ -466,6 +471,11 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
             st["todo"].remove(k)
         pending = [gi for gi in pending if state[gi]["todo"]]
 
+    with profiler("msa.reconstruct"):
+        return _reconstruct(state, active, by_group, codes, decode, results)
+
+
+def _reconstruct(state, active, by_group, codes, decode, results):
     for gi in active:
         st = state[gi]
         idx = by_group[gi]
