@@ -306,8 +306,14 @@ def _merge_descriptor(gi, pa: _Profile, pb: _Profile, pair_seg, bandwidth: int):
 
 
 def _run_merge_wave(lib_dev, wave, descs):
-    """Partition the wave's merges into shape classes and run each class."""
-    from ..ops.msa import merge_wave_from_library
+    """Run one wave of merges: dispatch every shape class, then read back.
+
+    Shape classes keep the sequential DP scan short for small merges (rows
+    is a scan axis — padding costs latency, not just FLOPs), while the
+    dispatch/collect split queues all classes on device before paying any
+    tunnel round trip (~25 ms each) for the readbacks.
+    """
+    from ..ops.msa import merge_wave_from_library, _compact_jmat
 
     def _bkt(x, base):
         b = base
@@ -315,13 +321,21 @@ def _run_merge_wave(lib_dev, wave, descs):
             b *= 2
         return b
 
+    # Class by ROWS only: rows is the sequential scan axis (padding it costs
+    # latency), while width only pads the per-step vector work, which is
+    # latency-dominated anyway — so merges of different widths share a
+    # launch at the widest bucket.
     classes: dict = {}
     for i, d in enumerate(descs):
-        key = (_bkt(max(d["la"], 1), 64), _bkt(d["kmax"] + 1, 64))
-        classes.setdefault(key, []).append(i)
+        classes.setdefault(_bkt(max(d["la"], 1), 64), []).append(i)
+    inflight = []
+    for rb, idxs in classes.items():
+        wb = _bkt(max(descs[i]["kmax"] + 1 for i in idxs), 64)
+        jmat_dev = merge_wave_from_library(lib_dev, [descs[i] for i in idxs], rb, wb)
+        inflight.append((idxs, jmat_dev))
     paths: list = [None] * len(descs)
-    for (rb, wb), idxs in classes.items():
-        sub = merge_wave_from_library(lib_dev, [descs[i] for i in idxs], rb, wb)
+    for idxs, jmat_dev in inflight:
+        sub = _compact_jmat(np.asarray(jmat_dev), len(idxs))
         for k, i in enumerate(idxs):
             paths[i] = sub[k]
     return paths
@@ -384,8 +398,10 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
             lens_local = lengths[idx]
             lib = extended[pos]
             for (x, y), (epa, epb, ew) in sorted(lib.items()):
-                lib_pa_parts.append(epa.astype(np.int32))
-                lib_pb_parts.append(epb.astype(np.int32))
+                # int16 positions: the upload is the single biggest
+                # host->device transfer (tens of MB after triplet extension).
+                lib_pa_parts.append(epa.astype(np.int16))
+                lib_pb_parts.append(epb.astype(np.int16))
                 lib_w_parts.append(ew.astype(np.float32))
                 pair_seg[(gi, x, y)] = (lib_at, epa.size)
                 lib_at += epa.size
@@ -408,8 +424,8 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
             )
         else:
             lib_dev = (
-                jnp.zeros(1, jnp.int32),
-                jnp.zeros(1, jnp.int32),
+                jnp.zeros(1, jnp.int16),
+                jnp.zeros(1, jnp.int16),
                 jnp.zeros(1, jnp.float32),
             )
         jax.block_until_ready(lib_dev)

@@ -131,62 +131,71 @@ int64_t triplet_extend(
         }
     }
 
-    // Per pair (x < y): gather candidate (a, b, w) triples — the base
-    // entries plus one composed set per middle z — then sort by (a, b) and
-    // sum duplicates.  Each z contributes at most one b per a, so the
-    // candidate list is <= (g-1) * stride long.
+    // Per pair (x < y), per position a on x: the candidates are the base
+    // entry plus one composed b per middle z (<= g-1 total) — dedup-sum and
+    // emit each tiny per-a bucket directly, in (a, b) order.  Sorting these
+    // <=g-element buckets beats one big per-pair sort (fewer comparisons,
+    // cache-resident, no large scratch).
     int64_t at = 0, pr = 0, needed = 0;
     bool overflow = false;
-    std::vector<std::pair<int64_t, float>> buf;
-    buf.reserve((size_t)g * stride);
+    std::vector<std::pair<const int32_t*, const float*>> xzm, zym;
+    std::vector<std::pair<int32_t, float>> cand;
+    xzm.reserve(g); zym.reserve(g); cand.reserve((size_t)g + 1);
     for (int32_t x = 0; x < g; ++x) {
         for (int32_t y = x + 1; y < g; ++y) {
-            buf.clear();
             const int32_t* bp = &mpos[base_of(x, y)];
             const float* bw = &mwt[base_of(x, y)];
-            for (int64_t a = 1; a < stride; ++a)
-                if (bp[a]) buf.emplace_back(a * stride + bp[a], bw[a]);
+            xzm.clear(); zym.clear();
             for (int32_t z = 0; z < g; ++z) {
                 if (z == x || z == y) continue;
-                const int32_t* xz = &mpos[base_of(x, z)];
-                const float* xw = &mwt[base_of(x, z)];
-                const int32_t* zy = &mpos[base_of(z, y)];
-                const float* zw = &mwt[base_of(z, y)];
-                for (int64_t a = 1; a < stride; ++a) {
-                    const int32_t k = xz[a];
+                xzm.emplace_back(&mpos[base_of(x, z)], &mwt[base_of(x, z)]);
+                zym.emplace_back(&mpos[base_of(z, y)], &mwt[base_of(z, y)]);
+            }
+            const size_t nz = xzm.size();
+            const int64_t pair_start = at;
+            bool any = false;
+            for (int64_t a = 1; a < stride; ++a) {
+                cand.clear();
+                if (bp[a]) cand.emplace_back(bp[a], bw[a]);
+                for (size_t zi = 0; zi < nz; ++zi) {
+                    const int32_t k = xzm[zi].first[a];
                     if (!k) continue;
-                    const int32_t b = zy[k];
+                    const int32_t b = zym[zi].first[k];
                     if (!b) continue;
-                    buf.emplace_back(a * stride + b, std::min(xw[a], zw[k]));
+                    cand.emplace_back(
+                        b, std::min(xzm[zi].second[a], zym[zi].second[k]));
+                }
+                if (cand.empty()) continue;
+                if (!any) {
+                    any = true;
+                    if (!overflow) {
+                        out_px[pr] = x;
+                        out_py[pr] = y;
+                        out_off[pr] = pair_start;
+                    }
+                }
+                std::sort(cand.begin(), cand.end(),
+                          [](const std::pair<int32_t, float>& l,
+                             const std::pair<int32_t, float>& r) {
+                              return l.first < r.first;
+                          });
+                size_t i = 0;
+                while (i < cand.size()) {
+                    const int32_t b = cand[i].first;
+                    double ww = 0.0;
+                    while (i < cand.size() && cand[i].first == b) {
+                        ww += cand[i].second;
+                        ++i;
+                    }
+                    ++needed;
+                    if (at >= cap) { overflow = true; continue; }
+                    out_pa[at] = (int32_t)a;
+                    out_pb[at] = b;
+                    out_w[at] = (float)ww;
+                    ++at;
                 }
             }
-            if (buf.empty()) continue;
-            std::sort(buf.begin(), buf.end(),
-                      [](const std::pair<int64_t, float>& l,
-                         const std::pair<int64_t, float>& r) {
-                          return l.first < r.first;
-                      });
-            if (!overflow) {
-                out_px[pr] = x;
-                out_py[pr] = y;
-                out_off[pr] = at;
-            }
-            size_t i = 0;
-            while (i < buf.size()) {
-                const int64_t key = buf[i].first;
-                double ww = 0.0;
-                while (i < buf.size() && buf[i].first == key) {
-                    ww += buf[i].second;
-                    ++i;
-                }
-                ++needed;
-                if (at >= cap) { overflow = true; continue; }
-                out_pa[at] = (int32_t)(key / stride);
-                out_pb[at] = (int32_t)(key % stride);
-                out_w[at] = (float)ww;
-                ++at;
-            }
-            if (!overflow) ++pr;
+            if (any && !overflow) ++pr;
         }
     }
     if (overflow) return -needed;

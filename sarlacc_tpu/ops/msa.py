@@ -233,7 +233,8 @@ def _pair_walk_kernel(dirs, lens_a, lens_b, lo):
             cond, body, (is_s, k, f, f, f)
         )
 
-        j_emit = jnp.where(exit_diag, r + lo + k_s, 0)
+        # int16 halves the jmat readback (j <= column count << 32767).
+        j_emit = jnp.where(exit_diag, r + lo + k_s, 0).astype(jnp.int16)
         s_vext = gather_k(vext, k_s)
         k_after_s = jnp.where(exit_vert, k_s + 1, k_s)
         st_after_s = jnp.where(exit_vert & (s_vext == 1), 2, 0)
@@ -351,16 +352,13 @@ def _run_pair_bucket(
             rows=rows_b,
             width=W_b,
         )
-    from ..utils.profiling import profiler as _prof
-
-    # Walk on device; transfer only the per-row matched positions.
-    with _prof("msa.pair_walk"):
-        jmat = _pair_walk_kernel(
-            dirs, jnp.asarray(lens_a_p), jnp.asarray(lens_b_p), jnp.asarray(lo_p)
-        )
-        scores = np.asarray(scores, np.float64)[:P]
-        jmat = np.asarray(jmat)
-    return scores, _compact_jmat(jmat, P)
+    # Walk on device; transfer only the per-row matched positions.  The
+    # return values are undelivered device arrays — jax dispatch is async,
+    # so the caller can queue every bucket before paying any readback.
+    jmat = _pair_walk_kernel(
+        dirs, jnp.asarray(lens_a_p), jnp.asarray(lens_b_p), jnp.asarray(lo_p)
+    )
+    return scores, jmat
 
 
 def banded_pair_align(
@@ -403,16 +401,27 @@ def banded_pair_align(
 
     scores = np.zeros(P, np.float64)
     paths: list = [None] * P
+    # Phase 1: dispatch every bucket (async — each launch queues behind the
+    # previous one on device).  Phase 2: read back.  This overlaps the
+    # device compute of later buckets with the readback of earlier ones and
+    # pays the tunnel round trip once per bucket instead of twice.
+    inflight = []
     for key in sorted(set(zip(rows_c.tolist(), W_c.tolist()))):
         idx = np.flatnonzero((rows_c == key[0]) & (W_c == key[1]))
-        sc, pt = _run_pair_bucket(
+        sc_dev, jmat_dev = _run_pair_bucket(
             codes_a[idx], lens_a[idx], codes_b[idx], lens_b[idx],
             lo[idx], hi[idx], match, mismatch, gap_open, gap_ext,
             bandwidth, int(key[0]), int(key[1]),
         )
-        scores[idx] = sc
-        for k, i in enumerate(idx):
-            paths[i] = pt[k]
+        inflight.append((idx, sc_dev, jmat_dev))
+    from ..utils.profiling import profiler as _prof
+
+    with _prof("msa.pair_walk"):
+        for idx, sc_dev, jmat_dev in inflight:
+            scores[idx] = np.asarray(sc_dev, np.float64)[: idx.size]
+            pt = _compact_jmat(np.asarray(jmat_dev), idx.size)
+            for k, i in enumerate(idx):
+                paths[i] = pt[k]
     return scores, paths
 
 
@@ -431,13 +440,11 @@ def _profile_merge_kernel(cost, lens_a, lens_b, lo, kmax, rows: int, width: int)
     in_band = karr <= kmax[:, None]
     s0 = jnp.where(jnp.logical_and(lo[:, None] + karr >= 0, in_band), 0.0, NEG)
 
-    def row(carry, i):
-        S = carry
+    def row(S, c, i):
         j = i + lo[:, None] + karr
         valid = jnp.logical_and(jnp.logical_and(j >= 0, j <= lens_b[:, None]), in_band)
         alive = i <= lens_a[:, None]
 
-        c = jax.lax.dynamic_index_in_dim(cost, i - 1, 1, keepdims=False)  # [P, W]
         M = S + jnp.where(jnp.logical_and(j >= 1, j <= lens_b[:, None]), c, NEG)
         S_up = jnp.concatenate([S[:, 1:], jnp.full((P, 1), NEG)], axis=1)  # vert
         D = jnp.maximum(M, S_up)
@@ -448,7 +455,24 @@ def _profile_merge_kernel(cost, lens_a, lens_b, lo, kmax, rows: int, width: int)
         S_out = jnp.where(alive, Sn, S)
         return S_out, choice
 
-    S, dirs = jax.lax.scan(row, s0, jnp.arange(1, rows + 1, dtype=jnp.int32))
+    # 8 rows per scan step: the row bodies are tiny, so per-iteration
+    # dispatch latency dominates the sequential scan — unrolling amortizes
+    # it (rows is a power-of-two bucket, divisible by 8).
+    block = 8
+    nblk = rows // block
+    cost_b = cost.reshape(P, nblk, block, W).transpose(1, 2, 0, 3)
+    ivals = jnp.arange(1, rows + 1, dtype=jnp.int32).reshape(nblk, block)
+
+    def blk(S, xs):
+        c_blk, i_blk = xs
+        outs = []
+        for u in range(block):
+            S, ch = row(S, c_blk[u], i_blk[u])
+            outs.append(ch)
+        return S, jnp.stack(outs)
+
+    S, dirs = jax.lax.scan(blk, s0, (cost_b, ivals))
+    dirs = dirs.reshape(rows, P, W)
     kfin = lens_b - lens_a - lo
     scores = jnp.take_along_axis(S, kfin[:, None], axis=1)[:, 0]
     return scores, dirs
@@ -597,7 +621,7 @@ def _merge_walk_kernel(dirs, lens_a, lens_b, lo):
         ch = gather_k(d_row, kf)
         dg = ok & (ch == 0)
         vt = ok & (ch == 2)
-        j_emit = jnp.where(dg, r + lo + kf, 0)
+        j_emit = jnp.where(dg, r + lo + kf, 0).astype(jnp.int16)
         k_next = jnp.where(dg, kf, jnp.where(vt, kf + 1, k))
         return (k_next, dead | died), j_emit
 
@@ -619,8 +643,11 @@ def _merge_from_library_kernel(
     segment/column-map arrays — the library itself never re-uploads.
     """
     e = jnp.arange(E, dtype=jnp.int32)
+    # seg_id as a fused comparison-count: XLA's searchsorted lowers to a
+    # gather-heavy binary-search loop (~20 ms at E=262k); counting
+    # seg_cum <= e reduces over S in one vectorized pass (<1 ms).
     seg_id = jnp.clip(
-        jnp.searchsorted(seg_cum, e, side="right"), 0, S - 1
+        jnp.sum(seg_cum[None, :] <= e[:, None], axis=1), 0, S - 1
     ).astype(jnp.int32)
     base = seg_cum[seg_id] - seg_len[seg_id]
     within = e - base
@@ -629,8 +656,8 @@ def _merge_from_library_kernel(
     valid_e = e < total
 
     sw = seg_swap[seg_id] == 1
-    pa_raw = lib_pa[t]
-    pb_raw = lib_pb[t]
+    pa_raw = lib_pa[t].astype(jnp.int32)  # library ships int16 positions
+    pb_raw = lib_pb[t].astype(jnp.int32)
     pa_e = jnp.where(sw, pb_raw, pa_raw)  # position on the A-side member
     pb_e = jnp.where(sw, pa_raw, pb_raw)
     w_e = lib_w[t]
@@ -670,11 +697,14 @@ def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
     multi_read_align call).  ``merges_desc`` is a list of dicts with keys
     ``la, lb, lo, kmax, segments, p2ca, p2cb`` where ``segments`` is a list
     of (start, length, aoff, boff, swap) tuples referencing the library and
-    the merge-local concatenated column maps.  Returns [(ai, bi)] per merge.
+    the merge-local concatenated column maps.  Returns the (undelivered)
+    device jmat [rows_b, Pp]; the caller reads it back with np.asarray and
+    decodes with :func:`_compact_jmat` — keeping the launch async so
+    several shape classes can be queued before any readback.
     """
     P = len(merges_desc)
     if P == 0:
-        return []
+        return None
 
     def _bkt(x, base):
         b = base
@@ -701,12 +731,14 @@ def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
         aoff_global += d["p2ca"].size
         boff_global += d["p2cb"].size
 
+    # int32 throughout: TPU emulates int64, and every quantity (library
+    # offsets < ~100M, map offsets, lengths) fits comfortably in 31 bits.
     S = _bkt(max(len(segs), 1), 8)
-    seg_start = np.zeros(S, np.int64)
-    seg_len = np.zeros(S, np.int64)
+    seg_start = np.zeros(S, np.int32)
+    seg_len = np.zeros(S, np.int32)
     seg_merge = np.zeros(S, np.int32)
-    seg_aoff = np.zeros(S, np.int64)
-    seg_boff = np.zeros(S, np.int64)
+    seg_aoff = np.zeros(S, np.int32)
+    seg_boff = np.zeros(S, np.int32)
     seg_swap = np.zeros(S, np.int32)
     for i, (st, ln, m, ao, bo, sw) in enumerate(segs):
         seg_start[i] = st
@@ -715,13 +747,13 @@ def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
         seg_aoff[i] = ao
         seg_boff[i] = bo
         seg_swap[i] = sw
-    seg_cum = np.cumsum(seg_len)
+    seg_cum = np.cumsum(seg_len, dtype=np.int32)
 
     p2ca = np.concatenate(p2ca_parts) if p2ca_parts else np.zeros(1, np.int32)
     p2cb = np.concatenate(p2cb_parts) if p2cb_parts else np.zeros(1, np.int32)
     E = _bkt(max(int(seg_cum[-1]), 1), 1024)
 
-    jmat = _merge_from_library_kernel(
+    return _merge_from_library_kernel(
         *lib_dev,
         jnp.asarray(seg_start), jnp.asarray(seg_len), jnp.asarray(seg_cum),
         jnp.asarray(seg_merge), jnp.asarray(seg_aoff), jnp.asarray(seg_boff),
@@ -730,4 +762,3 @@ def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
         jnp.asarray(la), jnp.asarray(lb), jnp.asarray(lo), jnp.asarray(kmax),
         P=Pp, rows=rows_b, width=W_b, E=E, S=S,
     )
-    return _compact_jmat(np.asarray(jmat), P)
