@@ -333,11 +333,14 @@ def _run_merge_wave(lib_dev, wave, descs):
         wb = _bkt(max(descs[i]["kmax"] + 1 for i in idxs), 64)
         jmat_dev = merge_wave_from_library(lib_dev, [descs[i] for i in idxs], rb, wb)
         inflight.append((idxs, jmat_dev))
+    from ..utils.profiling import profiler
+
     paths: list = [None] * len(descs)
-    for idxs, jmat_dev in inflight:
-        sub = _compact_jmat(np.asarray(jmat_dev), len(idxs))
-        for k, i in enumerate(idxs):
-            paths[i] = sub[k]
+    with profiler("msa.merge_readback"):
+        for idxs, jmat_dev in inflight:
+            sub = _compact_jmat(np.asarray(jmat_dev), len(idxs))
+            for k, i in enumerate(idxs):
+                paths[i] = sub[k]
     return paths
 
 
@@ -371,64 +374,72 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
         )
 
     state = {}
-    lib_pa_parts, lib_pb_parts, lib_w_parts = [], [], []
     pair_seg: dict = {}
-    lib_at = 0
 
-    # Triplet extension per group in a thread pool: the C++ call releases
-    # the GIL, so groups extend concurrently.
-    with profiler("msa.triplet"):
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            extended = list(
-                pool.map(
-                    lambda pos: _triplet_extension(
-                        libs[pos], by_group[active[pos]].size,
-                        lengths[by_group[active[pos]]],
-                    ),
-                    range(len(active)),
-                )
-            )
-
-    with profiler("msa.lib_concat"):
-        for pos, gi in enumerate(active):
-            idx = by_group[gi]
-            g = idx.size
-            lens_local = lengths[idx]
-            lib = extended[pos]
-            for (x, y), (epa, epb, ew) in sorted(lib.items()):
-                # int16 positions: the upload is the single biggest
-                # host->device transfer (tens of MB after triplet extension).
-                lib_pa_parts.append(epa.astype(np.int16))
-                lib_pb_parts.append(epb.astype(np.int16))
-                lib_w_parts.append(ew.astype(np.float32))
-                pair_seg[(gi, x, y)] = (lib_at, epa.size)
-                lib_at += epa.size
-            merges = _nj_tree(1.0 - idents[pos])
-            profiles = {m: _Profile.leaf(m, int(lens_local[m])) for m in range(g)}
-            state[gi] = {"lib": lib, "merges": merges, "at": 0,
-                         "profiles": profiles, "nxt": g}
-
-    # Upload the concatenated library ONCE; every merge wave references it
-    # by segment, so per-wave transfers are only small index arrays.
+    # Library weights upload as uint16 fixed point: an extended entry's
+    # weight is bounded a priori by 100*(g-1) (base + one min-composition
+    # per middle sequence, each <= 100), so one global scale is exact to
+    # ~wbound/65535 — far below f32's effect on merge tie-breaking.
     import jax
     import jax.numpy as jnp
 
+    gmax = max((by_group[gi].size for gi in active), default=2)
+    w_scale = 65535.0 / (100.0 * max(gmax - 1, 1) + 1.0)
+
+    # Triplet extension per group in a thread pool (the C++ call releases
+    # the GIL, so groups extend concurrently).  The main thread consumes
+    # results in order and starts each group's device upload immediately —
+    # device_put is async, so the transfers overlap the remaining groups'
+    # extensions and the guide-tree/bookkeeping work below.
+    with profiler("msa.triplet"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _extend_and_pack(pos):
+            lib = _triplet_extension(
+                libs[pos], by_group[active[pos]].size,
+                lengths[by_group[active[pos]]],
+            )
+            keys = sorted(lib)
+            sizes = [lib[k][0].size for k in keys]
+            n = int(sum(sizes))
+            tab = np.zeros((n, 3), np.uint16)  # one row gather per entry
+            if n:
+                tab[:, 0] = np.concatenate([lib[k][0] for k in keys])
+                tab[:, 1] = np.concatenate([lib[k][1] for k in keys])
+                tab[:, 2] = np.rint(
+                    np.concatenate([lib[k][2] for k in keys]) * w_scale
+                )
+            return lib, keys, sizes, tab
+
+        dev_parts = []
+        lib_at = 0
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for pos, (lib, keys, sizes, tab) in enumerate(
+                pool.map(_extend_and_pack, range(len(active)))
+            ):
+                gi = active[pos]
+                idx = by_group[gi]
+                g = idx.size
+                if tab.size:
+                    dev_parts.append(jax.device_put(tab))
+                for k, sz in zip(keys, sizes):
+                    pair_seg[(gi, k[0], k[1])] = (lib_at, sz)
+                    lib_at += sz
+                merges = _nj_tree(1.0 - idents[pos])
+                lens_local = lengths[idx]
+                profiles = {
+                    m: _Profile.leaf(m, int(lens_local[m])) for m in range(g)
+                }
+                state[gi] = {"lib": lib, "merges": merges, "at": 0,
+                             "profiles": profiles, "nxt": g}
+
     with profiler("msa.lib_upload"):
-        if lib_at:
-            lib_dev = (
-                jnp.asarray(np.concatenate(lib_pa_parts)),
-                jnp.asarray(np.concatenate(lib_pb_parts)),
-                jnp.asarray(np.concatenate(lib_w_parts)),
-            )
+        if dev_parts:
+            lib_tab = jnp.concatenate(dev_parts) if len(dev_parts) > 1 else dev_parts[0]
         else:
-            lib_dev = (
-                jnp.zeros(1, jnp.int16),
-                jnp.zeros(1, jnp.int16),
-                jnp.zeros(1, jnp.float32),
-            )
-        jax.block_until_ready(lib_dev)
+            lib_tab = jnp.zeros((1, 3), jnp.uint16)
+        lib_dev = (lib_tab, np.float32(1.0 / w_scale))
+        jax.block_until_ready(lib_tab)
 
     # Readiness-scheduled waves: each wave batches EVERY merge (across all
     # groups) whose operand profiles both exist — disjoint subtrees of one

@@ -631,9 +631,11 @@ def _merge_walk_kernel(dirs, lens_a, lens_b, lo):
 
 @functools.partial(jax.jit, static_argnames=("P", "rows", "width", "E", "S"))
 def _merge_from_library_kernel(
-    lib_pa, lib_pb, lib_w,  # [T] device-resident library (uploaded once)
-    seg_start, seg_len, seg_cum, seg_merge, seg_aoff, seg_boff, seg_swap,  # [S]
-    p2ca, p2cb,  # flat position->column maps (0 = unmapped)
+    lib_tab,  # [T, 3] uint16 device library rows (pa, pb, wq), uploaded once
+    w_inv,  # uint16 weight dequantization factor
+    seg_tab,  # [S, 9] int32: start, cum, len, merge, aoff, boff, swap, lo, kmax
+    seg_cum,  # [S] int32 (duplicated from seg_tab for the seg_id count)
+    p2ca, p2cb,  # flat position->column maps (0 = unmapped), int16
     la, lb, lo, kmax,  # [P]
     P: int, rows: int, width: int, E: int, S: int,
 ):
@@ -641,6 +643,11 @@ def _merge_from_library_kernel(
     through the profiles' position->column maps, then run the merge DP and
     the device walk.  Per-wave host->device traffic is only the small
     segment/column-map arrays — the library itself never re-uploads.
+
+    Per-entry lookups are deliberately TWO row gathers (one [E, 9] segment
+    row, one [E, 3] library row) plus the two map gathers: scalar gathers
+    cost ~15-20 ns/element on TPU, so folding ten of them into row gathers
+    is the difference between ~85 ms and ~30 ms per wave launch.
     """
     e = jnp.arange(E, dtype=jnp.int32)
     # seg_id as a fused comparison-count: XLA's searchsorted lowers to a
@@ -649,28 +656,30 @@ def _merge_from_library_kernel(
     seg_id = jnp.clip(
         jnp.sum(seg_cum[None, :] <= e[:, None], axis=1), 0, S - 1
     ).astype(jnp.int32)
-    base = seg_cum[seg_id] - seg_len[seg_id]
-    within = e - base
-    t = jnp.clip(seg_start[seg_id] + within, 0, lib_pa.shape[0] - 1)
+    seg = seg_tab[seg_id]  # [E, 9] one row gather for all per-segment data
+    s_start, s_cum, s_len = seg[:, 0], seg[:, 1], seg[:, 2]
+    m, s_aoff, s_boff = seg[:, 3], seg[:, 4], seg[:, 5]
+    sw, lo_m, kmax_m = seg[:, 6] == 1, seg[:, 7], seg[:, 8]
+
+    base = s_cum - s_len
+    t = jnp.clip(s_start + e - base, 0, lib_tab.shape[0] - 1)
     total = seg_cum[S - 1]
     valid_e = e < total
 
-    sw = seg_swap[seg_id] == 1
-    pa_raw = lib_pa[t].astype(jnp.int32)  # library ships int16 positions
-    pb_raw = lib_pb[t].astype(jnp.int32)
+    lr = lib_tab[t].astype(jnp.int32)  # [E, 3] one row gather per entry
+    pa_raw, pb_raw, wq = lr[:, 0], lr[:, 1], lr[:, 2]
     pa_e = jnp.where(sw, pb_raw, pa_raw)  # position on the A-side member
     pb_e = jnp.where(sw, pa_raw, pb_raw)
-    w_e = lib_w[t]
-    ci = p2ca[jnp.clip(seg_aoff[seg_id] + pa_e, 0, p2ca.shape[0] - 1)]
-    cj = p2cb[jnp.clip(seg_boff[seg_id] + pb_e, 0, p2cb.shape[0] - 1)]
-    m = seg_merge[seg_id]
-    k = cj - ci - lo[m]
+    w_e = wq.astype(jnp.float32) * w_inv
+    ci = p2ca[jnp.clip(s_aoff + pa_e, 0, p2ca.shape[0] - 1)].astype(jnp.int32)
+    cj = p2cb[jnp.clip(s_boff + pb_e, 0, p2cb.shape[0] - 1)].astype(jnp.int32)
+    k = cj - ci - lo_m
     ok = (
         valid_e
         & (ci >= 1)
         & (cj >= 1)
         & (k >= 0)
-        & (k <= kmax[m])
+        & (k <= kmax_m)
         & (k < width)
         & (ci <= rows)
     )
@@ -693,8 +702,9 @@ def _merge_from_library_kernel(
 def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
     """Run one shape-class wave of profile merges against the device library.
 
-    ``lib_dev`` = (lib_pa, lib_pb, lib_w) device arrays (uploaded once per
-    multi_read_align call).  ``merges_desc`` is a list of dicts with keys
+    ``lib_dev`` = ([T, 3] uint16 device row table (pa, pb, quantized w),
+    dequantization factor), uploaded once per multi_read_align call.
+    ``merges_desc`` is a list of dicts with keys
     ``la, lb, lo, kmax, segments, p2ca, p2cb`` where ``segments`` is a list
     of (start, length, aoff, boff, swap) tuples referencing the library and
     the merge-local concatenated column maps.  Returns the (undelivered)
@@ -733,32 +743,38 @@ def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
 
     # int32 throughout: TPU emulates int64, and every quantity (library
     # offsets < ~100M, map offsets, lengths) fits comfortably in 31 bits.
+    # One [S, 9] table (start, cum, len, merge, aoff, boff, swap, lo, kmax)
+    # keeps the kernel's per-entry segment lookup to a single row gather.
     S = _bkt(max(len(segs), 1), 8)
-    seg_start = np.zeros(S, np.int32)
-    seg_len = np.zeros(S, np.int32)
-    seg_merge = np.zeros(S, np.int32)
-    seg_aoff = np.zeros(S, np.int32)
-    seg_boff = np.zeros(S, np.int32)
-    seg_swap = np.zeros(S, np.int32)
+    seg_tab = np.zeros((S, 9), np.int32)
     for i, (st, ln, m, ao, bo, sw) in enumerate(segs):
-        seg_start[i] = st
-        seg_len[i] = ln
-        seg_merge[i] = m
-        seg_aoff[i] = ao
-        seg_boff[i] = bo
-        seg_swap[i] = sw
-    seg_cum = np.cumsum(seg_len, dtype=np.int32)
+        seg_tab[i, 0] = st
+        seg_tab[i, 2] = ln
+        seg_tab[i, 3] = m
+        seg_tab[i, 4] = ao
+        seg_tab[i, 5] = bo
+        seg_tab[i, 6] = sw
+        seg_tab[i, 7] = lo[m]
+        seg_tab[i, 8] = kmax[m]
+    seg_cum = np.cumsum(seg_tab[:, 2], dtype=np.int32)
+    seg_tab[:, 1] = seg_cum
 
     p2ca = np.concatenate(p2ca_parts) if p2ca_parts else np.zeros(1, np.int32)
     p2cb = np.concatenate(p2cb_parts) if p2cb_parts else np.zeros(1, np.int32)
     E = _bkt(max(int(seg_cum[-1]), 1), 1024)
 
-    return _merge_from_library_kernel(
-        *lib_dev,
-        jnp.asarray(seg_start), jnp.asarray(seg_len), jnp.asarray(seg_cum),
-        jnp.asarray(seg_merge), jnp.asarray(seg_aoff), jnp.asarray(seg_boff),
-        jnp.asarray(seg_swap),
-        jnp.asarray(p2ca, jnp.int32), jnp.asarray(p2cb, jnp.int32),
-        jnp.asarray(la), jnp.asarray(lb), jnp.asarray(lo), jnp.asarray(kmax),
-        P=Pp, rows=rows_b, width=W_b, E=E, S=S,
-    )
+    from ..utils.profiling import profiler as _prof
+
+    with _prof("msa.merge_upload"):
+        # Column maps are the per-wave transfer; int16 halves them (column
+        # indices are bounded by the merged profile width << 32767).
+        p2ca_dev = jnp.asarray(p2ca.astype(np.int16))
+        p2cb_dev = jnp.asarray(p2cb.astype(np.int16))
+    with _prof("msa.merge_dispatch"):
+        return _merge_from_library_kernel(
+            *lib_dev,
+            jnp.asarray(seg_tab), jnp.asarray(seg_cum),
+            p2ca_dev, p2cb_dev,
+            jnp.asarray(la), jnp.asarray(lb), jnp.asarray(lo), jnp.asarray(kmax),
+            P=Pp, rows=rows_b, width=W_b, E=E, S=S,
+        )
