@@ -122,34 +122,38 @@ def align_scores_only(
     padded, n = _pad_batch(batch, pad_n)
     codes, qidx, lengths = prepare_reads(padded, adaptor.tables)
     codes, qidx, lengths = _shard(mesh, codes, qidx, lengths)
-    if pallas_available():
-        scores = fit_scores_pallas(
-            codes,
-            qidx,
-            lengths,
-            adaptor.modes,
-            adaptor.matched,
-            adaptor.match_tab,
-            adaptor.mismatch_tab,
-            float(gap_opening),
-            float(gap_extension),
-            local=True,
-        )
+    from ..utils.profiling import profiler
+
+    cells = int(codes.shape[0]) * int(codes.shape[1]) * len(adaptor)
+    with profiler("align.score_only", items=n, cells=cells):
+        if pallas_available():
+            scores = fit_scores_pallas(
+                codes,
+                qidx,
+                lengths,
+                adaptor.modes,
+                adaptor.matched,
+                adaptor.match_tab,
+                adaptor.mismatch_tab,
+                float(gap_opening),
+                float(gap_extension),
+                local=True,
+            )
+        else:
+            scores, _ = dp_align(
+                codes,
+                qidx,
+                lengths,
+                adaptor.modes,
+                adaptor.matched,
+                adaptor.match_tab,
+                adaptor.mismatch_tab,
+                float(gap_opening),
+                float(gap_extension),
+                local=True,
+                need_directions=False,
+            )
         return np.asarray(scores)[:n].astype(np.float64)
-    scores, _ = dp_align(
-        codes,
-        qidx,
-        lengths,
-        adaptor.modes,
-        adaptor.matched,
-        adaptor.match_tab,
-        adaptor.mismatch_tab,
-        float(gap_opening),
-        float(gap_extension),
-        local=True,
-        need_directions=False,
-    )
-    return np.asarray(scores)[:n].astype(np.float64)
 
 
 def align_and_extract(
@@ -172,20 +176,24 @@ def align_and_extract(
     padded, n = _pad_batch(batch, pad_n)
     codes, qidx, lengths = prepare_reads(padded, adaptor.tables)
     codes, qidx, lengths = _shard(mesh, codes, qidx, lengths)
-    scores, dirs = dp_align(
-        codes,
-        qidx,
-        lengths,
-        adaptor.modes,
-        adaptor.matched,
-        adaptor.match_tab,
-        adaptor.mismatch_tab,
-        float(gap_opening),
-        float(gap_extension),
-        local=True,
-        need_directions=True,
-    )
-    scores = np.asarray(scores)[:n].astype(np.float64)
+    from ..utils.profiling import profiler
+
+    cells = int(codes.shape[0]) * int(codes.shape[1]) * len(adaptor)
+    with profiler("align.fit", items=n, cells=cells):
+        scores, dirs = dp_align(
+            codes,
+            qidx,
+            lengths,
+            adaptor.modes,
+            adaptor.matched,
+            adaptor.match_tab,
+            adaptor.mismatch_tab,
+            float(gap_opening),
+            float(gap_extension),
+            local=True,
+            need_directions=True,
+        )
+        scores = np.asarray(scores)[:n].astype(np.float64)
 
     # Backtrack on device: the direction tensor never leaves HBM; only the
     # [N, R+1] mapping arrays transfer.

@@ -405,6 +405,13 @@ def banded_pair_align(
     # previous one on device).  Phase 2: read back.  This overlaps the
     # device compute of later buckets with the readback of earlier ones and
     # pays the tunnel round trip once per bucket instead of twice.
+    from ..utils.profiling import StageStats, get_profiler
+
+    # Counters land on the caller's timed msa.pair_library stage so the
+    # report shows real pairs/s and banded-DP GCUPS.
+    dpstat = get_profiler().stages.setdefault("msa.pair_library", StageStats())
+    dpstat.items += P
+    dpstat.cells += int((rows_c.astype(np.int64) * W_c).sum())
     inflight = []
     for key in sorted(set(zip(rows_c.tolist(), W_c.tolist()))):
         idx = np.flatnonzero((rows_c == key[0]) & (W_c == key[1]))

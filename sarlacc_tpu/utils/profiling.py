@@ -12,7 +12,7 @@ import contextlib
 import time
 from dataclasses import dataclass, field
 
-__all__ = ["PipelineProfiler", "profiler", "get_profiler", "set_profiler"]
+__all__ = ["PipelineProfiler", "StageStats", "profiler", "get_profiler", "set_profiler"]
 
 
 @dataclass
