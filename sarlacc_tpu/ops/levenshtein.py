@@ -78,6 +78,91 @@ def _bucket(n: int) -> int:
     return b
 
 
+@functools.partial(jax.jit, static_argnames=("TI", "TJ", "L"))
+def _lev2_tile_kernel(codes, lengths, i0, j0, TI: int, TJ: int, L: int):
+    """Doubled distances for one [TI, TJ] tile of the all-pairs matrix.
+
+    ``codes`` [N, L] int32 and ``lengths`` [N] stay device-resident across
+    tiles — the host ships the n-row table once instead of materializing
+    O(n^2) per-pair operand rows (which made umi_group upload-bound).
+    """
+    a = jax.lax.dynamic_slice(codes, (i0, 0), (TI, L))  # [TI, L]
+    la = jax.lax.dynamic_slice(lengths, (i0,), (TI,)).astype(jnp.int32)
+    b = jax.lax.dynamic_slice(codes, (j0, 0), (TJ, L))  # [TJ, L]
+    lb = jax.lax.dynamic_slice(lengths, (j0,), (TJ,)).astype(jnp.int32)
+
+    idx = jnp.arange(L + 1, dtype=jnp.int32)
+    prev0 = jnp.broadcast_to(2 * idx, (TI, TJ, L + 1))
+    ans0 = jnp.broadcast_to(2 * la[:, None], (TI, TJ))  # lb == 0 answer
+    a_is_n = (a == 4)[:, None, :]  # [TI, 1, L]
+    a_b = a[:, None, :]  # [TI, 1, L]
+    la_idx = jnp.broadcast_to(la[:, None, None], (TI, TJ, 1))
+
+    def step(carry, jx):
+        prev, ans = carry
+        bj = jax.lax.dynamic_index_in_dim(b, jx, 1, keepdims=True)  # [TJ, 1]
+        bj = bj[None, :, :]  # [1, TJ, 1]
+        ms = jnp.where(
+            jnp.logical_or(bj == 4, a_is_n),
+            1,
+            jnp.where(a_b == bj, 0, 2),
+        ).astype(jnp.int32)  # [TI, TJ, L]
+        cand = jnp.concatenate(
+            [
+                jnp.full((TI, TJ, 1), 2 * (jx + 1), jnp.int32),
+                jnp.minimum(prev[..., 1:] + 2, prev[..., :-1] + ms),
+            ],
+            axis=-1,
+        )
+        t = cand - 2 * idx
+        col = jax.lax.cummin(t, axis=2) + 2 * idx
+        got = jnp.take_along_axis(col, la_idx, axis=2)[..., 0]
+        ans = jnp.where(jx + 1 == lb[None, :], got, ans)
+        return (col, ans), None
+
+    (_, ans), _ = jax.lax.scan(
+        step, (prev0, ans0), jnp.arange(L, dtype=jnp.int32)
+    )
+    return ans.astype(jnp.int16)
+
+
+def _lev2_matrix_tiled(codes: np.ndarray, lengths: np.ndarray, tile: int = 512) -> np.ndarray:
+    """Full doubled-distance matrix via device-resident tiles.
+
+    Tiles dispatch before any readback (async), so per-tile cost is device
+    compute, not tunnel round trips.
+    """
+    n = codes.shape[0]
+    Lb = 8
+    while Lb < codes.shape[1]:
+        Lb *= 2
+    T = min(tile, _bucket(n))
+    n_pad = ((n + T - 1) // T) * T
+    cp = np.full((n_pad, Lb), 5, np.int32)
+    cp[:n, : codes.shape[1]] = codes
+    lp = np.zeros(n_pad, np.int32)
+    lp[:n] = lengths
+    codes_dev = jnp.asarray(cp)
+    lens_dev = jnp.asarray(lp)
+
+    inflight = []
+    for i0 in range(0, n_pad, T):
+        for j0 in range(i0, n_pad, T):
+            dev = _lev2_tile_kernel(codes_dev, lens_dev, i0, j0, TI=T, TJ=T, L=Lb)
+            inflight.append((i0, j0, dev))
+    mat = np.zeros((n, n), dtype=np.int32)
+    for i0, j0, dev in inflight:
+        blk = np.asarray(dev, dtype=np.int32)
+        ih = min(i0 + T, n) - i0
+        jh = min(j0 + T, n) - j0
+        if ih <= 0 or jh <= 0:
+            continue
+        mat[i0 : i0 + ih, j0 : j0 + jh] = blk[:ih, :jh]
+        if j0 != i0:
+            mat[j0 : j0 + jh, i0 : i0 + ih] = blk[:ih, :jh].T
+    return mat
+
+
 def _run_pairs(ca, la, cb, lb) -> np.ndarray:
     P = ca.shape[0]
     if P == 0:
@@ -107,6 +192,11 @@ def lev2_condensed(codes: np.ndarray, lengths: np.ndarray, max_pairs: int = 1 <<
     for the float masked distance.
     """
     n = codes.shape[0]
+    if 2 <= n <= 8192:
+        # Moderate n: tiles beat per-pair operand materialization.
+        mat = _lev2_matrix_tiled(codes.astype(np.int32), lengths)
+        iu, ju = np.triu_indices(n, k=1)
+        return mat[iu, ju].astype(np.int32)
     iu, ju = np.triu_indices(n, k=1)
     out = np.zeros(iu.size, dtype=np.int32)
     for at in range(0, iu.size, max_pairs):
@@ -126,6 +216,8 @@ def lev2_matrix(codes: np.ndarray, lengths: np.ndarray, max_pairs: int = 1 << 22
     neighbour sets can legitimately come up empty.
     """
     n = codes.shape[0]
+    if n >= 2:
+        return _lev2_matrix_tiled(codes.astype(np.int32), lengths)
     mat = np.zeros((n, n), dtype=np.int32)
     cond = lev2_condensed(codes, lengths, max_pairs=max_pairs)
     iu, ju = np.triu_indices(n, k=1)
