@@ -344,6 +344,215 @@ def _run_merge_wave(lib_dev, wave, descs):
     return paths
 
 
+def _lib_w_scale(by_group, active) -> float:
+    """uint16 fixed-point scale for library weights.
+
+    An extended entry's weight is bounded a priori by 100*(g-1) (base + one
+    min-composition per middle sequence, each <= 100), so one global scale
+    is exact to ~wbound/65535 — far below the f32 tie-break noise the
+    pipeline already tolerates.
+    """
+    gmax = max((by_group[gi].size for gi in active), default=2)
+    return 65535.0 / (100.0 * max(gmax - 1, 1) + 1.0)
+
+
+def _build_library_device(
+    codes, lengths, by_group, active, match, mismatch, go, ge, bandwidth
+):
+    """Extended T-Coffee library built entirely on device.
+
+    The pair walks' jmats stay on device as dense position maps; the
+    consistency extension composes them with gathers and tiny lane-wise
+    sorts (:func:`..ops.msa._extend_chunk_kernel`), writing the packed
+    [T, 3] entry table in place.  Only per-pair identities and entry counts
+    ever cross the link — the extended library (the framework's largest
+    tensor) never transfers.
+
+    Returns (lib_dev = (table, w_inv), pair_seg, idents-per-active-group).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.msa import (
+        ARENA_IDENT_ROW,
+        _extend_chunk_kernel,
+        pair_maps_device,
+    )
+    from ..utils.profiling import profiler
+
+    jobs: list[tuple[int, int, int]] = []
+    jobid: dict[tuple[int, int, int], int] = {}
+    for pos, gi in enumerate(active):
+        g = by_group[gi].size
+        xs, ys = np.triu_indices(g, k=1)
+        for x, y in zip(xs, ys):
+            jobid[(gi, int(x), int(y))] = len(jobs)
+            jobs.append((gi, int(x), int(y)))
+
+    w_scale = _lib_w_scale(by_group, active)
+    idents = [np.ones((by_group[gi].size, by_group[gi].size)) for gi in active]
+    if not jobs:
+        lib_dev = (jnp.zeros((1, 3), jnp.uint16), np.float32(1.0 / w_scale))
+        return lib_dev, {}, idents
+
+    ga = np.asarray([by_group[g][x] for g, x, y in jobs])
+    gb = np.asarray([by_group[g][y] for g, x, y in jobs])
+    with profiler("msa.pair_library"):
+        arena, stride, fracs = pair_maps_device(
+            codes[ga], lengths[ga], codes[gb], lengths[gb],
+            match, mismatch, go, ge, bandwidth,
+        )
+    gi_of_active = {gi: pos for pos, gi in enumerate(active)}
+    for i, (gi, x, y) in enumerate(jobs):
+        pos = gi_of_active[gi]
+        idents[pos][x, y] = idents[pos][y, x] = fracs[i]
+
+    def dir_row(gi, u, v):
+        """Arena row holding the u -> v position map."""
+        if u < v:
+            return 2 + 2 * jobid[(gi, u, v)]
+        return 3 + 2 * jobid[(gi, v, u)]
+
+    # Chunk output pairs by slot-count class (SL = bucketed g-1: the base
+    # slot plus one per middle sequence).
+    def _bkt(x, base):
+        b = base
+        while b < x:
+            b *= 2
+        return b
+
+    classes: dict[int, list[tuple[int, int, int]]] = {}
+    for pos, gi in enumerate(active):
+        g = by_group[gi].size
+        sl = _bkt(max(g - 1, 1), 2)
+        classes.setdefault(sl, []).extend(
+            (gi, x, y) for x, y in zip(*np.triu_indices(g, k=1))
+        )
+
+    CP = 256  # pairs per launch: bounds the [CP, STR, SL] intermediates
+    t_cap = sum(
+        ((len(prs) + CP - 1) // CP) * CP * sl * stride
+        for sl, prs in classes.items()
+    )
+    t_cap = _bkt(max(t_cap, 1), 1 << 16)  # pow2: one compile per size class
+    ncnt = _bkt(len(jobs) + 1, 1024)
+    with profiler("msa.triplet"):
+        table = jnp.zeros((t_cap, 3), jnp.uint16)
+        counts = jnp.zeros(ncnt, jnp.int32)
+        out_base = jnp.int32(0)
+        order: list[tuple[int, int, int]] = []
+        for sl in sorted(classes):
+            prs = classes[sl]
+            for c0 in range(0, len(prs), CP):
+                chunk = prs[c0 : c0 + CP]
+                order.extend(chunk)
+                xz = np.zeros((CP, sl), np.int32)
+                zy = np.zeros((CP, sl), np.int32)
+                ws = np.zeros((CP, sl), np.float32)
+                pid = np.full(CP, len(jobs), np.int32)
+                for r, (gi, x, y) in enumerate(chunk):
+                    pos = gi_of_active[gi]
+                    g = by_group[gi].size
+                    pid[r] = jobid[(gi, x, y)]
+                    xz[r, 0] = dir_row(gi, x, y)
+                    zy[r, 0] = ARENA_IDENT_ROW
+                    ws[r, 0] = idents[pos][x, y] * 100.0
+                    s = 1
+                    for z in range(g):
+                        if z == x or z == y:
+                            continue
+                        xz[r, s] = dir_row(gi, x, z)
+                        zy[r, s] = dir_row(gi, z, y)
+                        ws[r, s] = min(idents[pos][x, z], idents[pos][z, y]) * 100.0
+                        s += 1
+                table, counts, out_base = _extend_chunk_kernel(
+                    arena,
+                    jnp.asarray(xz), jnp.asarray(zy), jnp.asarray(ws),
+                    table, counts, jnp.asarray(pid), out_base,
+                    np.float32(w_scale), SL=sl, STR=stride, TCAP=t_cap,
+                )
+        counts_np = np.asarray(counts).astype(np.int64)
+
+    pair_seg: dict = {}
+    at = 0
+    for gi, x, y in order:
+        sz = int(counts_np[jobid[(gi, x, y)]])
+        pair_seg[(gi, x, y)] = (at, sz)
+        at += sz
+    lib_dev = (table, np.float32(1.0 / w_scale))
+    return lib_dev, pair_seg, idents
+
+
+def _build_library_host(
+    codes, lengths, by_group, active, match, mismatch, go, ge, bandwidth
+):
+    """Host-path library (C++/NumPy triplet extension + packed upload).
+
+    Kept as the debuggable fallback and the parity anchor for the device
+    path (SARLACC_HOST_LIB=1 selects it).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.profiling import profiler
+
+    with profiler("msa.pair_library"):
+        libs, idents = _pair_libraries(
+            codes, lengths, [by_group[gi] for gi in active],
+            match, mismatch, go, ge, bandwidth,
+        )
+
+    pair_seg: dict = {}
+    w_scale = _lib_w_scale(by_group, active)
+
+    # Triplet extension per group in a thread pool (the C++ call releases
+    # the GIL, so groups extend concurrently).  The main thread consumes
+    # results in order and starts each group's device upload immediately —
+    # device_put is async, so the transfers overlap the remaining groups'
+    # extensions.
+    with profiler("msa.triplet"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _extend_and_pack(pos):
+            lib = _triplet_extension(
+                libs[pos], by_group[active[pos]].size,
+                lengths[by_group[active[pos]]],
+            )
+            keys = sorted(lib)
+            sizes = [lib[k][0].size for k in keys]
+            n = int(sum(sizes))
+            tab = np.zeros((n, 3), np.uint16)  # one row gather per entry
+            if n:
+                tab[:, 0] = np.concatenate([lib[k][0] for k in keys])
+                tab[:, 1] = np.concatenate([lib[k][1] for k in keys])
+                tab[:, 2] = np.rint(
+                    np.concatenate([lib[k][2] for k in keys]) * w_scale
+                )
+            return keys, sizes, tab
+
+        dev_parts = []
+        lib_at = 0
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for pos, (keys, sizes, tab) in enumerate(
+                pool.map(_extend_and_pack, range(len(active)))
+            ):
+                gi = active[pos]
+                if tab.size:
+                    dev_parts.append(jax.device_put(tab))
+                for k, sz in zip(keys, sizes):
+                    pair_seg[(gi, k[0], k[1])] = (lib_at, sz)
+                    lib_at += sz
+
+    with profiler("msa.lib_upload"):
+        if dev_parts:
+            lib_tab = jnp.concatenate(dev_parts) if len(dev_parts) > 1 else dev_parts[0]
+        else:
+            lib_tab = jnp.zeros((1, 3), jnp.uint16)
+        lib_dev = (lib_tab, np.float32(1.0 / w_scale))
+        jax.block_until_ready(lib_tab)
+    return lib_dev, pair_seg, idents
+
+
 def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
     """MSA for all groups, batching device launches across groups.
 
@@ -367,79 +576,25 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
 
     from ..utils.profiling import profiler
 
-    with profiler("msa.pair_library"):
-        libs, idents = _pair_libraries(
-            codes, lengths, [by_group[gi] for gi in active],
-            match, mismatch, go, ge, bandwidth,
+    import os
+
+    if os.environ.get("SARLACC_HOST_LIB"):
+        lib_dev, pair_seg, idents = _build_library_host(
+            codes, lengths, by_group, active, match, mismatch, go, ge, bandwidth
+        )
+    else:
+        lib_dev, pair_seg, idents = _build_library_device(
+            codes, lengths, by_group, active, match, mismatch, go, ge, bandwidth
         )
 
     state = {}
-    pair_seg: dict = {}
-
-    # Library weights upload as uint16 fixed point: an extended entry's
-    # weight is bounded a priori by 100*(g-1) (base + one min-composition
-    # per middle sequence, each <= 100), so one global scale is exact to
-    # ~wbound/65535 — far below f32's effect on merge tie-breaking.
-    import jax
-    import jax.numpy as jnp
-
-    gmax = max((by_group[gi].size for gi in active), default=2)
-    w_scale = 65535.0 / (100.0 * max(gmax - 1, 1) + 1.0)
-
-    # Triplet extension per group in a thread pool (the C++ call releases
-    # the GIL, so groups extend concurrently).  The main thread consumes
-    # results in order and starts each group's device upload immediately —
-    # device_put is async, so the transfers overlap the remaining groups'
-    # extensions and the guide-tree/bookkeeping work below.
-    with profiler("msa.triplet"):
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _extend_and_pack(pos):
-            lib = _triplet_extension(
-                libs[pos], by_group[active[pos]].size,
-                lengths[by_group[active[pos]]],
-            )
-            keys = sorted(lib)
-            sizes = [lib[k][0].size for k in keys]
-            n = int(sum(sizes))
-            tab = np.zeros((n, 3), np.uint16)  # one row gather per entry
-            if n:
-                tab[:, 0] = np.concatenate([lib[k][0] for k in keys])
-                tab[:, 1] = np.concatenate([lib[k][1] for k in keys])
-                tab[:, 2] = np.rint(
-                    np.concatenate([lib[k][2] for k in keys]) * w_scale
-                )
-            return lib, keys, sizes, tab
-
-        dev_parts = []
-        lib_at = 0
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            for pos, (lib, keys, sizes, tab) in enumerate(
-                pool.map(_extend_and_pack, range(len(active)))
-            ):
-                gi = active[pos]
-                idx = by_group[gi]
-                g = idx.size
-                if tab.size:
-                    dev_parts.append(jax.device_put(tab))
-                for k, sz in zip(keys, sizes):
-                    pair_seg[(gi, k[0], k[1])] = (lib_at, sz)
-                    lib_at += sz
-                merges = _nj_tree(1.0 - idents[pos])
-                lens_local = lengths[idx]
-                profiles = {
-                    m: _Profile.leaf(m, int(lens_local[m])) for m in range(g)
-                }
-                state[gi] = {"lib": lib, "merges": merges, "at": 0,
-                             "profiles": profiles, "nxt": g}
-
-    with profiler("msa.lib_upload"):
-        if dev_parts:
-            lib_tab = jnp.concatenate(dev_parts) if len(dev_parts) > 1 else dev_parts[0]
-        else:
-            lib_tab = jnp.zeros((1, 3), jnp.uint16)
-        lib_dev = (lib_tab, np.float32(1.0 / w_scale))
-        jax.block_until_ready(lib_tab)
+    for pos, gi in enumerate(active):
+        idx = by_group[gi]
+        g = idx.size
+        merges = _nj_tree(1.0 - idents[pos])
+        lens_local = lengths[idx]
+        profiles = {m: _Profile.leaf(m, int(lens_local[m])) for m in range(g)}
+        state[gi] = {"merges": merges, "profiles": profiles, "nxt": g}
 
     # Readiness-scheduled waves: each wave batches EVERY merge (across all
     # groups) whose operand profiles both exist — disjoint subtrees of one

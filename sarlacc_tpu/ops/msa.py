@@ -358,7 +358,30 @@ def _run_pair_bucket(
     jmat = _pair_walk_kernel(
         dirs, jnp.asarray(lens_a_p), jnp.asarray(lens_b_p), jnp.asarray(lo_p)
     )
-    return scores, jmat
+    ident = _pair_ident_kernel(
+        jmat, jnp.asarray(codes_a_p, jnp.int32), jnp.asarray(codes_b_p, jnp.int32)
+    )
+    return scores, jmat, ident
+
+
+@jax.jit
+def _pair_ident_kernel(jmat, codes_a, codes_b):
+    """Fractional identity per pair from the walk's jmat, on device.
+
+    jmat [rows, P] (row r-1 = matched B-position for A-position r, 0 = none);
+    codes_* [P, L]. frac = (#matched positions with equal bases) / #matched,
+    0 when nothing matched — reproducing _pair_post's host computation.
+    """
+    rows, P = jmat.shape
+    jm = jmat.T.astype(jnp.int32)  # [P, rows]
+    matched = jm > 0
+    take = min(rows, codes_a.shape[1])
+    ca = jnp.zeros((P, rows), jnp.int32).at[:, :take].set(codes_a[:, :take])
+    lb = codes_b.shape[1]
+    cb = jnp.take_along_axis(codes_b, jnp.clip(jm - 1, 0, lb - 1), axis=1)
+    eq = matched & (ca == cb)
+    cnt = matched.sum(axis=1)
+    return eq.sum(axis=1).astype(jnp.float32) / jnp.maximum(cnt, 1).astype(jnp.float32)
 
 
 def banded_pair_align(
@@ -415,7 +438,7 @@ def banded_pair_align(
     inflight = []
     for key in sorted(set(zip(rows_c.tolist(), W_c.tolist()))):
         idx = np.flatnonzero((rows_c == key[0]) & (W_c == key[1]))
-        sc_dev, jmat_dev = _run_pair_bucket(
+        sc_dev, jmat_dev, _ = _run_pair_bucket(
             codes_a[idx], lens_a[idx], codes_b[idx], lens_b[idx],
             lo[idx], hi[idx], match, mismatch, gap_open, gap_ext,
             bandwidth, int(key[0]), int(key[1]),
@@ -785,3 +808,190 @@ def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
             jnp.asarray(la), jnp.asarray(lb), jnp.asarray(lo), jnp.asarray(kmax),
             P=Pp, rows=rows_b, width=W_b, E=E, S=S,
         )
+
+
+# ---------------------------------------------------------------------------
+# Device-resident T-Coffee library: the pair walks' jmats ARE the dense
+# position maps, so the consistency (triplet) extension is pure gather /
+# tiny-sort work on device — the extended library (the framework's largest
+# tensor, ~6x the base library) never crosses the host<->device link.
+# ---------------------------------------------------------------------------
+
+ARENA_ZERO_ROW = 0  # all zeros: composing through it yields dead entries
+ARENA_IDENT_ROW = 1  # identity map: lets the base entries reuse the
+# composition kernel (x->y base == x->y map composed with identity)
+
+
+def pair_maps_device(
+    codes_a, lens_a, codes_b, lens_b,
+    match, mismatch, gap_open, gap_ext, bandwidth,
+):
+    """Align all J pairs and keep every path on device as dense maps.
+
+    Returns (arena [2 + 2J, stride] int16, stride, fracs [J] float64):
+    job i's forward map (A-position -> matched B-position, 0 = none) is
+    arena row ``2 + 2i``; the reverse map is row ``3 + 2i``.  ``fracs`` is
+    the per-pair fractional identity (host numpy; it feeds the guide tree).
+    """
+    J = codes_a.shape[0]
+    lens_a = np.asarray(lens_a, np.int32)
+    lens_b = np.asarray(lens_b, np.int32)
+
+    def _bkt(x, base):
+        b = base
+        while b < x:
+            b *= 2
+        return b
+
+    diffs = lens_b.astype(np.int64) - lens_a.astype(np.int64)
+    lo = (np.minimum(0, diffs) - bandwidth).astype(np.int32)
+    hi = (np.maximum(0, diffs) + bandwidth).astype(np.int32)
+
+    def _bkt_arr(x, base):
+        out = np.full_like(x, base)
+        while True:
+            small = out < x
+            if not small.any():
+                return out
+            out[small] *= 2
+
+    rows_c = _bkt_arr(np.maximum(lens_a.astype(np.int64), 1), 64) if J else np.zeros(0, np.int64)
+    W_c = _bkt_arr((hi - lo + 1).astype(np.int64), 64) if J else np.zeros(0, np.int64)
+
+    # Power-of-two buckets on every shape so recompiles stay bounded.  The
+    # arena indexes REAL positions (<= max sequence length), not padded DP
+    # rows — stride directly scales every extension chunk's work.
+    lmax = int(max(lens_a.max(initial=1), lens_b.max(initial=1)))
+    stride = _bkt(lmax + 1, 128)
+    R = _bkt(2 + 2 * J, 64)
+    arena = jnp.zeros((R, stride), jnp.int16)
+    arena = arena.at[ARENA_IDENT_ROW].set(jnp.arange(stride, dtype=jnp.int16))
+    if J == 0:
+        return arena, stride, np.zeros(0, np.float64)
+
+    inflight = []
+    for key in sorted(set(zip(rows_c.tolist(), W_c.tolist()))):
+        idx = np.flatnonzero((rows_c == key[0]) & (W_c == key[1]))
+        _, jmat_dev, ident_dev = _run_pair_bucket(
+            codes_a[idx], lens_a[idx], codes_b[idx], lens_b[idx],
+            lo[idx], hi[idx], match, mismatch, gap_open, gap_ext,
+            bandwidth, int(key[0]), int(key[1]),
+        )
+        inflight.append((idx, int(key[0]), jmat_dev, ident_dev))
+
+    fracs = np.zeros(J, np.float64)
+    for idx, rows_b, jmat_dev, ident_dev in inflight:
+        Pb = jmat_dev.shape[1]
+        fr = np.full(Pb, R, np.int32)  # pad rows land out of bounds -> drop
+        rr = np.full(Pb, R, np.int32)
+        fr[: idx.size] = 2 + 2 * idx
+        rr[: idx.size] = 3 + 2 * idx
+        arena = _arena_place_kernel(
+            arena, jmat_dev, jnp.asarray(fr), jnp.asarray(rr), rows=rows_b
+        )
+        fracs[idx] = np.asarray(ident_dev, np.float64)[: idx.size]
+    return arena, stride, fracs
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("rows",))
+def _arena_place_kernel(arena, jmat, fwd_rows, rev_rows, rows: int):
+    """Place one bucket's jmats into the arena as forward + reverse rows.
+
+    DP rows beyond ``stride - 1`` are padding (positions never exceed the
+    true max length the stride was sized from) and are sliced away.
+    """
+    Pb = jmat.shape[1]
+    stride = arena.shape[1]
+    take = min(rows, stride - 1)
+    fwd = jnp.zeros((Pb, stride), arena.dtype)
+    fwd = jax.lax.dynamic_update_slice(
+        fwd, jmat.T[:, :take].astype(arena.dtype), (0, 1)
+    )
+    cols = fwd[:, 1 : take + 1].astype(jnp.int32)  # matched b per a (0 dead)
+    parr = jnp.arange(Pb, dtype=jnp.int32)[:, None]
+    avals = jnp.broadcast_to(
+        jnp.arange(1, take + 1, dtype=jnp.int32)[None, :], cols.shape
+    ).astype(arena.dtype)
+    rev = jnp.zeros((Pb, stride), arena.dtype)
+    rev = rev.at[parr, jnp.where(cols > 0, cols, stride)].set(avals, mode="drop")
+    arena = arena.at[fwd_rows].set(fwd, mode="drop")
+    arena = arena.at[rev_rows].set(rev, mode="drop")
+    return arena
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(4, 5), static_argnames=("SL", "STR", "TCAP")
+)
+def _extend_chunk_kernel(
+    arena, xz_rows, zy_rows, w_slots, table, counts, pair_ids, out_base,
+    w_scale, SL: int, STR: int, TCAP: int,
+):
+    """Consistency-extend one chunk of output pairs, writing packed entries.
+
+    For output pair p and slot s (slot 0 = the base x~y map through the
+    identity row; others = one middle sequence z each):
+      k = arena[xz_rows[p,s], a];  b = arena[zy_rows[p,s], k];  w = w_slots.
+    Per (p, a) the <= SL candidate b's sort (tiny lane-wise sort), duplicate
+    b's sum their weights, and surviving entries append to ``table`` at a
+    running device offset — no host round trip, no dynamic shapes.
+    """
+    CP = xz_rows.shape[0]
+    XZ = arena[xz_rows].astype(jnp.int32)  # [CP, SL, STR] row gather
+    flat = arena.reshape(-1)
+    b = flat[zy_rows[:, :, None] * STR + XZ].astype(jnp.int32)
+    b = jnp.where(XZ > 0, b, 0)
+
+    bt = b.transpose(0, 2, 1)  # [CP, STR, SL]
+    wt = jnp.broadcast_to(w_slots[:, None, :], bt.shape)
+    DEAD = jnp.int32(1) << 20
+    key = jnp.where(bt > 0, bt, DEAD)
+    key_s, w_s = jax.lax.sort((key, wt), dimension=2, num_keys=1)
+    valid = key_s < DEAD
+    first = valid & jnp.concatenate(
+        [jnp.ones_like(valid[..., :1]), key_s[..., 1:] != key_s[..., :-1]],
+        axis=2,
+    )
+    # Duplicate-sum along the tiny slot axis (SL <= 32): unrolled masked adds.
+    w_live = jnp.where(valid, w_s, 0.0)
+    wsum = jnp.zeros_like(w_s)
+    for j in range(SL):
+        wsum = wsum + jnp.where(
+            key_s == key_s[..., j : j + 1], w_live[..., j : j + 1], 0.0
+        )
+
+    a_idx = jnp.arange(STR, dtype=jnp.int32)[None, :, None]
+    keep = first & (a_idx > 0)
+    flatkeep = keep.reshape(-1)
+    N = CP * STR * SL
+
+    # Stream compaction.  A direct row scatter of all N candidates costs
+    # ~90 ns/row on TPU (it processes dropped updates too); inverting it —
+    # scatter the kept candidates' SOURCE indices, gather the packed rows,
+    # then one contiguous dynamic_update_slice — keeps the scatter scalar
+    # and turns the table write into a DMA.  Rows past the kept count are
+    # garbage; the next chunk overwrites them (or they sit past the final
+    # total, never referenced by any segment).
+    dat64 = (
+        (jnp.broadcast_to(a_idx, keep.shape).astype(jnp.int64) << 32)
+        | (key_s.astype(jnp.int64) << 16)
+        | jnp.rint(wsum * w_scale).astype(jnp.int64)
+    ).reshape(-1)
+    pos_local = jnp.cumsum(flatkeep.astype(jnp.int32)) - 1
+    src = jnp.zeros(N, jnp.int32)
+    src = src.at[jnp.where(flatkeep, pos_local, N)].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop"
+    )
+    block64 = dat64[src]
+    block = jnp.stack(
+        [
+            (block64 >> 32).astype(jnp.uint16),
+            ((block64 >> 16) & 0xFFFF).astype(jnp.uint16),
+            (block64 & 0xFFFF).astype(jnp.uint16),
+        ],
+        axis=1,
+    )
+    table = jax.lax.dynamic_update_slice(
+        table, block, (out_base, jnp.int32(0))
+    )
+    counts = counts.at[pair_ids].add(keep.sum(axis=(1, 2)).astype(jnp.int32))
+    return table, counts, out_base + flatkeep.sum(dtype=jnp.int32)

@@ -162,3 +162,34 @@ def test_msa_deterministic(rng):
     a = multi_read_align(batch, bandwidth=40)["alignments"][0]
     b = multi_read_align(batch, bandwidth=40)["alignments"][0]
     assert a == b
+
+
+def test_device_library_matches_host_path(rng):
+    """The on-device consistency library is bit-identical to the host
+    (C++/NumPy) triplet-extension path: same pair segments, same (a, b)
+    entries, weights within one uint16 quantum."""
+    from sarlacc_tpu.api.msa import _build_library_device, _build_library_host
+
+    ref1 = "".join(rng.choice(list("ACGT"), 160))
+    ref2 = "".join(rng.choice(list("ACGT"), 220))
+    seqs = noisy_copies(rng, ref1, 6) + noisy_copies(rng, ref2, 5)
+    batch = SeqBatch.from_strings(seqs, ["I" * len(s) for s in seqs])
+    groups = [np.arange(0, 6), np.arange(6, 11)]
+
+    args = (batch.codes, batch.lengths, groups, [0, 1], 0.0, -1.0, 5.0, 1.0, 60)
+    dev_lib, dev_seg, dev_id = _build_library_device(*args)
+    host_lib, host_seg, host_id = _build_library_host(*args)
+
+    for a, b in zip(dev_id, host_id):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    assert set(dev_seg) == set(host_seg)
+    dev_tab = np.asarray(dev_lib[0])
+    host_tab = np.asarray(host_lib[0])
+    for key in sorted(host_seg):
+        hs, hn = host_seg[key]
+        ds, dn = dev_seg[key]
+        assert hn == dn, key
+        h = host_tab[hs : hs + hn]
+        d = dev_tab[ds : ds + dn]
+        np.testing.assert_array_equal(h[:, :2], d[:, :2], err_msg=str(key))
+        assert np.abs(h[:, 2].astype(int) - d[:, 2].astype(int)).max(initial=0) <= 1
