@@ -356,6 +356,40 @@ def _lib_w_scale(by_group, active) -> float:
     return 65535.0 / (100.0 * max(gmax - 1, 1) + 1.0)
 
 
+def _device_lib_ok(
+    lengths, by_group, active, budget_bytes: int = 1 << 31
+) -> bool:
+    """Size guard for the device library path.
+
+    The extension kernel's unrolled duplicate-sum is O(SL^2) and assumes
+    SL <= 32 slots (SL = bucketed g-1), and the packed entry table grows as
+    O(#pairs * SL * stride); groups too large for either must take the host
+    path automatically, not only via SARLACC_HOST_LIB.
+    """
+
+    def _bkt(x, base):
+        b = base
+        while b < x:
+            b *= 2
+        return b
+
+    sl_max = 1
+    npairs_sl = 0  # sum over pairs of their slot bucket
+    for gi in active:
+        g = by_group[gi].size
+        sl = _bkt(max(g - 1, 1), 2)
+        sl_max = max(sl_max, sl)
+        npairs_sl += (g * (g - 1) // 2) * sl
+    if sl_max > 32:
+        return False
+    lmax = int(lengths[np.concatenate([by_group[gi] for gi in active])].max(initial=1)) if active else 1
+    stride = _bkt(lmax + 1, 128)
+    # table rows are uint16[3]; chunks pad to CP=256 pairs but the pair-sum
+    # estimate dominates.  2 GiB default budget leaves headroom on a 16 GB
+    # chip for the arena, cost planes, and the merge-wave intermediates.
+    return npairs_sl * stride * 6 <= budget_bytes
+
+
 def _build_library_device(
     codes, lengths, by_group, active, match, mismatch, go, ge, bandwidth
 ):
@@ -578,7 +612,9 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
 
     import os
 
-    if os.environ.get("SARLACC_HOST_LIB"):
+    if os.environ.get("SARLACC_HOST_LIB") or not _device_lib_ok(
+        lengths, by_group, active
+    ):
         lib_dev, pair_seg, idents = _build_library_host(
             codes, lengths, by_group, active, match, mismatch, go, ge, bandwidth
         )

@@ -78,13 +78,17 @@ def _bucket(n: int) -> int:
     return b
 
 
-@functools.partial(jax.jit, static_argnames=("TI", "TJ", "L"))
-def _lev2_tile_kernel(codes, lengths, i0, j0, TI: int, TJ: int, L: int):
+@functools.partial(jax.jit, static_argnames=("TI", "TJ", "L", "wide"))
+def _lev2_tile_kernel(codes, lengths, i0, j0, TI: int, TJ: int, L: int, wide: bool = False):
     """Doubled distances for one [TI, TJ] tile of the all-pairs matrix.
 
     ``codes`` [N, L] int32 and ``lengths`` [N] stay device-resident across
     tiles — the host ships the n-row table once instead of materializing
     O(n^2) per-pair operand rows (which made umi_group upload-bound).
+
+    The readback is int16 (halves the transfer) unless ``wide`` — doubled
+    distances can reach 2*max(la, lb), so sequences longer than 16383 bases
+    must read back int32 to avoid silent wraparound.
     """
     a = jax.lax.dynamic_slice(codes, (i0, 0), (TI, L))  # [TI, L]
     la = jax.lax.dynamic_slice(lengths, (i0,), (TI,)).astype(jnp.int32)
@@ -123,7 +127,7 @@ def _lev2_tile_kernel(codes, lengths, i0, j0, TI: int, TJ: int, L: int):
     (_, ans), _ = jax.lax.scan(
         step, (prev0, ans0), jnp.arange(L, dtype=jnp.int32)
     )
-    return ans.astype(jnp.int16)
+    return ans if wide else ans.astype(jnp.int16)
 
 
 def _lev2_matrix_tiled(codes: np.ndarray, lengths: np.ndarray, tile: int = 512) -> np.ndarray:
@@ -144,22 +148,39 @@ def _lev2_matrix_tiled(codes: np.ndarray, lengths: np.ndarray, tile: int = 512) 
     lp[:n] = lengths
     codes_dev = jnp.asarray(cp)
     lens_dev = jnp.asarray(lp)
+    wide = int(lengths.max(initial=0)) > 16383  # int16 would wrap (d2 <= 2L)
 
-    inflight = []
-    for i0 in range(0, n_pad, T):
-        for j0 in range(i0, n_pad, T):
-            dev = _lev2_tile_kernel(codes_dev, lens_dev, i0, j0, TI=T, TJ=T, L=Lb)
-            inflight.append((i0, j0, dev))
+    # Bounded in-flight window: tiles dispatch ahead of readbacks (async) but
+    # never hold more than ~max_inflight [T, T] results on device at once, so
+    # arbitrarily large n cannot OOM the chip.
+    max_inflight = max(1, (64 << 20) // (T * T * (4 if wide else 2)))
+    tiles = [
+        (i0, j0)
+        for i0 in range(0, n_pad, T)
+        for j0 in range(i0, n_pad, T)
+    ]
     mat = np.zeros((n, n), dtype=np.int32)
-    for i0, j0, dev in inflight:
+
+    def _collect(i0, j0, dev):
         blk = np.asarray(dev, dtype=np.int32)
         ih = min(i0 + T, n) - i0
         jh = min(j0 + T, n) - j0
         if ih <= 0 or jh <= 0:
-            continue
+            return
         mat[i0 : i0 + ih, j0 : j0 + jh] = blk[:ih, :jh]
         if j0 != i0:
             mat[j0 : j0 + jh, i0 : i0 + ih] = blk[:ih, :jh].T
+
+    inflight: list = []
+    for i0, j0 in tiles:
+        dev = _lev2_tile_kernel(
+            codes_dev, lens_dev, i0, j0, TI=T, TJ=T, L=Lb, wide=wide
+        )
+        inflight.append((i0, j0, dev))
+        if len(inflight) >= max_inflight:
+            _collect(*inflight.pop(0))
+    for item in inflight:
+        _collect(*item)
     return mat
 
 

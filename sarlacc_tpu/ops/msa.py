@@ -394,6 +394,7 @@ def banded_pair_align(
     gap_open: float,
     gap_ext: float,
     bandwidth: int,
+    stage: str = "msa.pair_library",
 ):
     """Batch of banded global pairwise alignments.
 
@@ -430,9 +431,9 @@ def banded_pair_align(
     # pays the tunnel round trip once per bucket instead of twice.
     from ..utils.profiling import StageStats, get_profiler
 
-    # Counters land on the caller's timed msa.pair_library stage so the
-    # report shows real pairs/s and banded-DP GCUPS.
-    dpstat = get_profiler().stages.setdefault("msa.pair_library", StageStats())
+    # Counters land on the caller's timed stage (default msa.pair_library)
+    # so the report shows real pairs/s and banded-DP GCUPS.
+    dpstat = get_profiler().stages.setdefault(stage, StageStats())
     dpstat.items += P
     dpstat.cells += int((rows_c.astype(np.int64) * W_c).sum())
     inflight = []
@@ -857,6 +858,12 @@ def pair_maps_device(
 
     rows_c = _bkt_arr(np.maximum(lens_a.astype(np.int64), 1), 64) if J else np.zeros(0, np.int64)
     W_c = _bkt_arr((hi - lo + 1).astype(np.int64), 64) if J else np.zeros(0, np.int64)
+
+    from ..utils.profiling import StageStats, get_profiler
+
+    dpstat = get_profiler().stages.setdefault("msa.pair_library", StageStats())
+    dpstat.items += J
+    dpstat.cells += int((rows_c * W_c).sum()) if J else 0
 
     # Power-of-two buckets on every shape so recompiles stay bounded.  The
     # arena indexes REAL positions (<= max sequence length), not padded DP

@@ -89,3 +89,25 @@ def test_neighbor_sets_match_trie_oracle(rng, limit):
     dev = _neighbor_lists(codes.astype(np.int32), lengths, limit)
     ref = find_neighbors(seqs, limit)
     assert dev == [list(map(int, x)) for x in ref]
+
+
+def test_tile_kernel_wide_matches_int16():
+    """The wide (int32) tile readback is value-identical to the int16 path
+    for short sequences; long sequences (>16383) must select it to avoid
+    wraparound (ADVICE r1)."""
+    from sarlacc_tpu.ops.levenshtein import _lev2_tile_kernel
+    import jax.numpy as jnp
+
+    codes, lengths = encode_batch(["ACGT", "AGGT", "TTTT", ""])
+    cp = np.full((4, 8), 5, np.int32)
+    cp[:, :4] = codes[:, :4]
+    a16 = np.asarray(
+        _lev2_tile_kernel(jnp.asarray(cp), jnp.asarray(lengths.astype(np.int32)),
+                          0, 0, TI=4, TJ=4, L=8, wide=False)
+    )
+    a32 = np.asarray(
+        _lev2_tile_kernel(jnp.asarray(cp), jnp.asarray(lengths.astype(np.int32)),
+                          0, 0, TI=4, TJ=4, L=8, wide=True)
+    )
+    assert a32.dtype == np.int32
+    np.testing.assert_array_equal(a16.astype(np.int32), a32)

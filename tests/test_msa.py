@@ -193,3 +193,19 @@ def test_device_library_matches_host_path(rng):
         d = dev_tab[ds : ds + dn]
         np.testing.assert_array_equal(h[:, :2], d[:, :2], err_msg=str(key))
         assert np.abs(h[:, 2].astype(int) - d[:, 2].astype(int)).max(initial=0) <= 1
+
+
+def test_device_lib_size_guard():
+    """Groups with g-1 > 32 slots (or a huge entry table) must auto-route to
+    the host library path (ADVICE r1: the extension kernel assumes SL <= 32)."""
+    from sarlacc_tpu.api.msa import _device_lib_ok
+
+    lengths = np.full(100, 200, np.int64)
+    small = [np.arange(0, 8), np.arange(8, 20)]
+    assert _device_lib_ok(lengths, small, [0, 1])
+    big = [np.arange(0, 40)]  # g-1 = 39 -> SL bucket 64 > 32
+    assert not _device_lib_ok(lengths, big, [0])
+    # Table-size budget: many pairs of very long reads blow the byte budget.
+    lengths_long = np.full(66, 60000, np.int64)
+    wide = [np.arange(0, 33)]  # SL = 32 ok, but 528 pairs * 32 * 65536 * 6 B
+    assert not _device_lib_ok(lengths_long, wide, [0])
