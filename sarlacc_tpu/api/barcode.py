@@ -26,21 +26,39 @@ def barcode_align(
     gap_opening: float = 5,
     gap_extension: float = 1,
     qual_type: str = "phred",
+    mesh=None,
 ) -> Frame:
     """Assign each sequence to its best-scoring barcode.
 
     Returns Frame(barcode, score, gap) where ``barcode`` is the 0-based index
     of the winner (the reference reports 1-based), ``gap`` the margin over the
-    runner-up; metadata carries penalties and the barcode list.
+    runner-up; metadata carries penalties and the barcode list.  ``mesh``
+    shards the sequence batch over devices — the BPPARAM analog
+    (R/barcodeAlign.R:4, workers dispatched at :22-24).
     """
     n = len(sequences)
     current_score = np.full(n, -np.inf)
     next_best = np.full(n, -np.inf)
     current_id = np.full(n, -1, dtype=np.int64)
 
-    for b, seq in enumerate(barcodes):
-        prep = prepare_adaptor(str(seq).upper(), qual_type)
-        codes, qidx, lengths = prepare_reads(sequences, prep.tables)
+    preps = [prepare_adaptor(str(seq).upper(), qual_type) for seq in barcodes]
+    if preps:
+        # One read upload shared by every barcode launch (the quality table
+        # is per qual_type, not per barcode).
+        if mesh is not None:
+            from ..parallel.context import pad_to_mesh
+            from .align_internal import _pad_batch
+
+            padded, _ = _pad_batch(sequences, pad_to_mesh(n, mesh))
+        else:
+            padded = sequences
+        codes, qidx, lengths = prepare_reads(padded, preps[0].tables)
+        if mesh is not None:
+            from ..parallel.mesh import shard_reads
+
+            codes, qidx, lengths = shard_reads(mesh, codes, qidx, lengths)
+
+    for b, prep in enumerate(preps):
         scores, _ = dp_align(
             codes,
             qidx,
@@ -54,7 +72,7 @@ def barcode_align(
             local=False,
             need_directions=False,
         )
-        scores = np.asarray(scores, dtype=np.float64)
+        scores = np.asarray(scores, dtype=np.float64)[:n]
 
         keep = scores > current_score
         second = ~keep & (scores > next_best)

@@ -57,17 +57,26 @@ def _expand_quals(codes: np.ndarray, quals: list[str], encoding) -> np.ndarray:
     """
     g, w = codes.shape
     eps = np.full((g, w), 0.5, dtype=np.float64)
-    for i in range(g):
-        nongap = codes[i] != 5
-        count = int(nongap.sum())
-        q = quals[i]
-        if count > len(q):
+    nongap = codes != 5
+    counts = nongap.sum(axis=1)
+    qlens = np.fromiter((len(q) for q in quals), np.int64, count=g)
+    bad = np.flatnonzero(counts != qlens)
+    if bad.size:
+        if counts[bad[0]] > qlens[bad[0]]:
             raise ValueError("quality vector is shorter than the alignment sequence")
-        if count < len(q):
-            raise ValueError("quality vector is longer than the alignment sequence")
-        if count:
-            qcodes = np.frombuffer(q.encode(), dtype=np.uint8)
-            eps[i, nongap] = encoding.to_error(qcodes)
+        raise ValueError("quality vector is longer than the alignment sequence")
+    if counts.any():
+        # Non-gap column k of member i reads quality char cumsum(nongap)-1;
+        # one padded [g, maxq] table turns the per-member walk into a gather.
+        # Pad with the lowest encoded char: padding is never gathered (qidx
+        # stays below each member's real length) but must pass validation.
+        qmat = np.full((g, max(int(qlens.max()), 1)), encoding.offset, np.uint8)
+        for i, q in enumerate(quals):
+            qmat[i, : qlens[i]] = np.frombuffer(q.encode(), dtype=np.uint8)
+        errs = encoding.to_error(qmat)
+        qidx = np.cumsum(nongap, axis=1) - 1
+        rows = np.broadcast_to(np.arange(g)[:, None], (g, w))
+        eps[nongap] = errs[rows[nongap], qidx[nongap]]
     return eps
 
 
@@ -85,8 +94,14 @@ def consensus_read_seq(
     min_coverage: float = 0.6,
     qual_type: str = "phred",
     qualities: list[list[str]] | None = None,
+    mesh=None,
 ) -> SeqBatch:
-    """Consensus per group; returns a quality-scaled SeqBatch (Phred+33)."""
+    """Consensus per group; returns a quality-scaled SeqBatch (Phred+33).
+
+    ``mesh`` shards each bucketed group batch over devices (the tally kernel
+    is group-parallel) — the BPPARAM analog (R/consensusReadSeq.R runs per
+    group under the caller's worker pool).
+    """
     if isinstance(alignments, Frame):
         groups = list(alignments["alignments"])
         quals = list(alignments["qualities"]) if "qualities" in alignments else None
@@ -112,10 +127,14 @@ def consensus_read_seq(
         key = (_bucket_up(c.shape[0]), _bucket_up(max(c.shape[1], 1)))
         buckets.setdefault(key, []).append(i)
 
+    from ..parallel.context import pad_to_mesh, use_mesh, shard_batch
+
     seqs: list[str] = [""] * ngroups
     phreds: list[str] = [""] * ngroups
     for (gpad, wpad), idxs in buckets.items():
-        b = len(idxs)
+        # Padded groups are all-gap with naligns=0; their outputs are never
+        # read (only the first len(idxs) batch rows are consumed below).
+        b = pad_to_mesh(len(idxs), mesh)
         codes = np.full((b, gpad, wpad), 5, dtype=np.int8)
         naligns = np.zeros(b, dtype=np.int32)
         epsb = np.full((b, gpad, wpad), 0.5, dtype=np.float64)
@@ -125,14 +144,17 @@ def consensus_read_seq(
             naligns[k] = g
             if has_quals:
                 epsb[k, :g, :w] = eps[i]
-        if has_quals:
-            keep, best, err = consensus_quality_dev(
-                codes, epsb, naligns, float(min_coverage)
-            )
-        else:
-            keep, best, err = consensus_basic_dev(
-                codes, naligns, float(min_coverage), float(pseudo_count)
-            )
+        with use_mesh(mesh):
+            if has_quals:
+                codes, epsb, naligns = shard_batch(codes, epsb, naligns)
+                keep, best, err = consensus_quality_dev(
+                    codes, epsb, naligns, float(min_coverage)
+                )
+            else:
+                codes, naligns = shard_batch(codes, naligns)
+                keep, best, err = consensus_basic_dev(
+                    codes, naligns, float(min_coverage), float(pseudo_count)
+                )
         keep = np.asarray(keep)
         best = np.asarray(best)
         err = np.asarray(err, dtype=np.float64)

@@ -25,12 +25,14 @@ def extract_subseq(
     subseq2: tuple[list[int], list[int]] | None = None,
     number: int = 100_000,
     reads: SeqBatch | None = None,
+    mesh=None,
 ) -> dict:
     """Extract adaptor-coordinate subsequences (1-based inclusive ranges).
 
     ``subseq1``/``subseq2`` are (starts, ends) lists of adaptor positions; at
     least one must be given.  Returns a dict with 'adaptor1' / 'adaptor2'
-    Frames of extracted subsequence batches.
+    Frames of extracted subsequence batches.  ``mesh`` shards the realignment
+    batch over devices (BPPARAM analog, R/extractSubseq.R:5).
     """
     if subseq1 is None and subseq2 is None:
         raise ValueError("at least one of subseq1 or subseq2 must be specified")
@@ -96,7 +98,7 @@ def extract_subseq(
         prep = prepare_adaptor(ameta["sequence"], qual_type)
         prep.sec_starts = [int(s) for s in sections[0]]
         prep.sec_ends = [int(e) for e in sections[1]]
-        res = align_and_extract(prep, batch, go, ge)
+        res = align_and_extract(prep, batch, go, ge, mesh=mesh)
         stored_scores = np.asarray(stored["score"], dtype=np.float64)[m]
         if not np.allclose(res["score"], stored_scores, rtol=1.5e-8, atol=1.5e-8):
             raise ValueError(f"score mismatch from 'aligned' for {key}")

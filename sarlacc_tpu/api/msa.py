@@ -729,8 +729,15 @@ def multi_read_align(
     bandwidth: int = 100,
     keep_mask: bool = False,
     qual_type: str = "phred",
+    mesh=None,
 ) -> Frame:
-    """MSA per read group; returns Frame(alignments=List, qualities=List)."""
+    """MSA per read group; returns Frame(alignments=List, qualities=List).
+
+    ``mesh`` (BPPARAM analog, R/multiReadAlign.R:7) shards the pairwise
+    library construction — the DP-heavy stage — over devices; the merge
+    waves and host orchestration are unchanged, so results are identical to
+    the single-device run.
+    """
     n = len(reads)
     by_group, names = _split_groups(n, groups)
 
@@ -744,16 +751,19 @@ def multi_read_align(
         codes = reads.codes
     lengths = reads.lengths
 
-    alignments = _msa_groups(
-        codes,
-        lengths,
-        by_group,
-        float(match),
-        float(mismatch),
-        float(gap_opening),
-        float(gap_extension),
-        int(bandwidth),
-    )
+    from ..parallel.context import use_mesh
+
+    with use_mesh(mesh):
+        alignments = _msa_groups(
+            codes,
+            lengths,
+            by_group,
+            float(match),
+            float(mismatch),
+            float(gap_opening),
+            float(gap_extension),
+            int(bandwidth),
+        )
     if use_mask and not keep_mask:
         dec = np.frombuffer(b"ACGTN-", dtype=np.uint8)
         for gi, idx in enumerate(by_group):

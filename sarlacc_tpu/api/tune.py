@@ -22,28 +22,43 @@ __all__ = ["tune_alignment", "get_adaptor_thresholds"]
 
 
 def scramble_input(batch: SeqBatch, rng: np.random.Generator) -> SeqBatch:
-    """Per-read permutation of bases and qualities (R/getAdaptorThresholds.R:68-92)."""
-    codes = np.full_like(batch.codes, 5)
-    quals = np.zeros_like(batch.quals) if batch.quals is not None else None
-    for i in range(len(batch)):
-        n = int(batch.lengths[i])
-        o = rng.permutation(n)
-        codes[i, :n] = batch.codes[i, :n][o]
-        if quals is not None:
-            quals[i, :n] = batch.quals[i, :n][o]
+    """Per-read permutation of bases and qualities (R/getAdaptorThresholds.R:68-92).
+
+    One batched argsort of iid uniform keys (a uniform random permutation per
+    read) replaces the per-read ``rng.permutation`` loop; pad positions sort
+    last so each read's valid prefix permutes in place.
+    """
+    N, L = batch.codes.shape
+    if N == 0 or L == 0:
+        quals = np.zeros_like(batch.quals) if batch.quals is not None else None
+        return SeqBatch(
+            np.full_like(batch.codes, 5), batch.lengths.copy(), quals, batch.names
+        )
+    keys = rng.random((N, L))
+    pad = np.arange(L)[None, :] >= batch.lengths[:, None]
+    keys[pad] = 2.0  # uniforms are < 1, so padding sorts strictly last
+    order = np.argsort(keys, axis=1)
+    codes = np.take_along_axis(batch.codes, order, axis=1)
+    codes[pad] = 5
+    quals = None
+    if batch.quals is not None:
+        quals = np.take_along_axis(batch.quals, order, axis=1)
+        quals[pad] = 0
     return SeqBatch(codes, batch.lengths.copy(), quals, batch.names)
 
 
-def _four_scores(a1, a2, front, back, go, ge, pad_n=None):
+def _four_scores(a1, a2, front, back, go, ge, pad_n=None, mesh=None):
     """START/END/RSTART/REND score vectors (R/tuneAlignment.R:99-112).
 
-    Each adaptor's two orientations stack into one device launch.
+    Each adaptor's two orientations stack into one device launch; ``mesh``
+    shards the stacked batch over devices (the BPPARAM analog,
+    R/tuneAlignment.R:56-59).
     """
     n = len(front)
     fb = SeqBatch.concat([front, back])
     bf = SeqBatch.concat([back, front])
-    s1 = align_scores_only(a1, fb, go, ge, 2 * pad_n if pad_n else None)
-    s2 = align_scores_only(a2, bf, go, ge, 2 * pad_n if pad_n else None)
+    s1 = align_scores_only(a1, fb, go, ge, 2 * pad_n if pad_n else None, mesh=mesh)
+    s2 = align_scores_only(a2, bf, go, ge, 2 * pad_n if pad_n else None, mesh=mesh)
     return s1[:n], s2[:n], s1[n:], s2[n:]
 
 
@@ -67,8 +82,13 @@ def tune_alignment(
     gap_ext_range: tuple[int, int] = (1, 5),
     qual_type: str = "phred",
     seed: int = 0,
+    mesh=None,
 ) -> dict:
-    """Grid-search integer gap penalties maximizing real/scrambled separation."""
+    """Grid-search integer gap penalties maximizing real/scrambled separation.
+
+    ``mesh`` data-shards every grid point's score batch over devices — the
+    TPU analog of the reference's ``BPPARAM`` (R/tuneAlignment.R:8).
+    """
     a1 = prepare_adaptor(adaptor1.upper(), qual_type)
     a2 = prepare_adaptor(adaptor2.upper(), qual_type)
 
@@ -96,8 +116,8 @@ def tune_alignment(
     best_scores = {"reads": None, "scrambled": None}
     for go in range(int(lo_op), int(hi_op) + 1):
         for ge in range(int(lo_ext), int(hi_ext) + 1):
-            rs = _four_scores(a1, a2, front, back, go, ge)
-            ss = _four_scores(a1, a2, sfront, sback, go, ge)
+            rs = _four_scores(a1, a2, front, back, go, ge, mesh=mesh)
+            ss = _four_scores(a1, a2, sfront, sback, go, ge, mesh=mesh)
             _, read_scores = resolve_strand(*rs)
             _, scram_scores = resolve_strand(*ss)
             cur = tied_overlap(read_scores, scram_scores)
@@ -129,8 +149,18 @@ def get_adaptor_thresholds(
     number: int = 100_000,
     reads: SeqBatch | None = None,
     seed: int = 0,
+    mesh=None,
 ) -> dict:
-    """Scramble-FDR adaptor score thresholds (R/getAdaptorThresholds.R:6-64)."""
+    """Scramble-FDR adaptor score thresholds (R/getAdaptorThresholds.R:6-64).
+
+    With a ``mesh`` (BPPARAM analog, R/getAdaptorThresholds.R:6) the
+    scrambled realignment runs data-parallel via
+    :func:`..parallel.mesh.sharded_adaptor_scores`, whose psum'd global
+    score histograms are returned under ``histogram1``/``histogram2`` —
+    every host sees the global distribution without gathering reads.
+    Thresholds themselves use the exact gathered scores, so results are
+    identical to the single-device path.
+    """
     meta = aligned.metadata
     a1meta = aligned["adaptor1"].metadata
     a2meta = aligned["adaptor2"].metadata
@@ -159,16 +189,55 @@ def get_adaptor_thresholds(
     front, back = reads.front_and_back(tolerance)
     sfront = scramble_input(front, rng)
     sback = scramble_input(back, rng)
-    s_start, s_end, s_rstart, s_rend = _four_scores(a1, a2, sfront, sback, go, ge)
-    is_rev, _ = resolve_strand(s_start, s_end, s_rstart, s_rend)
-    scram1 = np.where(is_rev, s_rstart, s_start)
-    scram2 = np.where(is_rev, s_rend, s_end)
+    hist1 = hist2 = None
+    if mesh is not None:
+        scram1, scram2, hist1, hist2 = _sharded_scrambled_scores(
+            a1, a2, sfront, sback, go, ge, mesh
+        )
+    else:
+        s_start, s_end, s_rstart, s_rend = _four_scores(
+            a1, a2, sfront, sback, go, ge
+        )
+        is_rev, _ = resolve_strand(s_start, s_end, s_rstart, s_rend)
+        scram1 = np.where(is_rev, s_rstart, s_start)
+        scram2 = np.where(is_rev, s_rend, s_end)
 
     real1 = np.asarray(aligned["adaptor1"]["score"], dtype=np.float64)[m]
     real2 = np.asarray(aligned["adaptor2"]["score"], dtype=np.float64)[m]
-    return {
+    out = {
         "threshold1": compute_threshold(real1, scram1, error),
         "threshold2": compute_threshold(real2, scram2, error),
         "scores1": {"reads": real1, "scrambled": scram1},
         "scores2": {"reads": real2, "scrambled": scram2},
     }
+    if hist1 is not None:
+        out["histogram1"] = hist1
+        out["histogram2"] = hist2
+    return out
+
+
+def _sharded_scrambled_scores(a1, a2, sfront, sback, go, ge, mesh):
+    """Mesh-parallel scrambled scores + psum'd global histograms."""
+    from ..ops.align import prepare_reads
+    from ..parallel.context import pad_to_mesh
+    from ..parallel.mesh import sharded_adaptor_scores, shard_reads
+
+    n = len(sfront)
+    pad_n = pad_to_mesh(n, mesh)
+    from .align_internal import _pad_batch
+
+    pf, _ = _pad_batch(sfront, pad_n)
+    pb, _ = _pad_batch(sback, pad_n)
+    front_arrays = shard_reads(mesh, *prepare_reads(pf, a1.tables))
+    back_arrays = shard_reads(mesh, *prepare_reads(pb, a1.tables))
+    p1 = (a1.modes, a1.matched, a1.match_tab, a1.mismatch_tab)
+    p2 = (a2.modes, a2.matched, a2.match_tab, a2.mismatch_tab)
+    s1, s2, _, h1, h2 = sharded_adaptor_scores(
+        mesh, front_arrays, back_arrays, p1, p2, float(go), float(ge)
+    )
+    return (
+        np.asarray(s1, np.float64)[:n],
+        np.asarray(s2, np.float64)[:n],
+        np.asarray(h1),
+        np.asarray(h2),
+    )

@@ -291,7 +291,14 @@ def _run_pair_bucket(
     codes_a, lens_a, codes_b, lens_b, lo, hi,
     match, mismatch, gap_open, gap_ext, bandwidth, rows_b, W_b,
 ):
-    """One shape-bucketed launch (DP + on-device walk)."""
+    """One shape-bucketed launch (DP + on-device walk).
+
+    With an active mesh (:mod:`..parallel.context`) the pair axis is padded
+    to a mesh multiple and sharded, so the banded DP + walk run data-parallel
+    over devices (each pair is independent — no collectives).
+    """
+    from ..parallel.context import active_mesh, mesh_size
+
     P = codes_a.shape[0]
 
     def _bkt(x, base):
@@ -301,6 +308,10 @@ def _run_pair_bucket(
         return b
 
     Pp = _bkt(max(P, 1), 8)
+    mesh = active_mesh()
+    if mesh is not None:
+        m = mesh_size(mesh)
+        Pp += (-Pp) % m
     la_b = _bkt(max(int(lens_a.max()) if P else 1, 1), 64)
     lb_b = _bkt(max(int(lens_b.max()) if P else 1, 1), 64)
 
@@ -338,13 +349,23 @@ def _run_pair_bucket(
             match, mismatch, gap_open, gap_ext, rows=rows_b, width=W_b,
         )
     else:
+        from ..parallel.context import shard_batch
+
+        ca_d, cb_d, la_d, lb_d, lo_d, km_d = shard_batch(
+            np.asarray(codes_a_p, np.int32),
+            np.asarray(codes_b_p, np.int32),
+            lens_a_p,
+            lens_b_p,
+            lo_p,
+            (hi_p - lo_p),
+        )
         scores, dirs = _banded_pair_kernel(
-            jnp.asarray(codes_a_p, jnp.int32),
-            jnp.asarray(codes_b_p, jnp.int32),
-            jnp.asarray(lens_a_p),
-            jnp.asarray(lens_b_p),
-            jnp.asarray(lo_p),
-            jnp.asarray(hi_p - lo_p),
+            jnp.asarray(ca_d),
+            jnp.asarray(cb_d),
+            jnp.asarray(la_d),
+            jnp.asarray(lb_d),
+            jnp.asarray(lo_d),
+            jnp.asarray(km_d),
             float(match),
             float(mismatch),
             float(gap_open),

@@ -87,12 +87,15 @@ def sharded_adaptor_scores(
     hist_bins: int = 64,
     hist_range: tuple[float, float] = (-100.0, 100.0),
 ):
-    """Data-parallel strand-resolved adaptor scores + a psum'd global histogram.
+    """Data-parallel strand-resolved adaptor scores + psum'd global histograms.
 
-    Returns (final_scores [N] sharded, reversed [N] sharded, hist [bins]
-    replicated) — the histogram is the collective ingredient of distributed
-    threshold calibration (every host sees the global score distribution
-    without gathering the reads).
+    Returns (score1 [N], score2 [N], reversed [N] — all sharded over reads —
+    hist1 [bins], hist2 [bins] — replicated).  ``score1``/``score2`` are the
+    per-adaptor scores in the resolved orientation (what
+    ``get_adaptor_thresholds`` feeds its FDR computation,
+    R/getAdaptorThresholds.R:105-128); the psum'd histograms are the
+    collective ingredient of distributed threshold calibration — every host
+    sees the global score distribution without gathering the reads.
     """
     spec = P(READS_AXIS)
 
@@ -100,7 +103,7 @@ def sharded_adaptor_scores(
         shard_map,
         mesh=mesh,
         in_specs=(spec, spec, spec, spec, spec, spec),
-        out_specs=(spec, spec, P()),
+        out_specs=(spec, spec, spec, P(), P()),
         check_vma=False,
     )
     def step(codes_f, qidx_f, lens_f, codes_b, qidx_b, lens_b):
@@ -111,16 +114,28 @@ def sharded_adaptor_scores(
         fscore = jnp.maximum(s_start, 0) + jnp.maximum(s_end, 0)
         rscore = jnp.maximum(s_rstart, 0) + jnp.maximum(s_rend, 0)
         reversed_ = fscore < rscore
-        final = jnp.where(reversed_, rscore, fscore)
+        score1 = jnp.where(reversed_, s_rstart, s_start)
+        score2 = jnp.where(reversed_, s_rend, s_end)
 
-        # Global score histogram via psum over ICI.
+        # Global per-adaptor score histograms via psum over ICI.  Padding
+        # rows (batch rounded up to the mesh size) have zero-length ends and
+        # are dropped from the histogram.
         lo, hi = hist_range
-        idx = jnp.clip(
-            ((final - lo) / (hi - lo) * hist_bins).astype(jnp.int32), 0, hist_bins - 1
-        )
-        local_hist = jnp.zeros(hist_bins, jnp.int32).at[idx].add(1)
-        hist = jax.lax.psum(local_hist, READS_AXIS)
-        return final, reversed_, hist
+        valid = jnp.logical_or(lens_f > 0, lens_b > 0)
+
+        def hist_of(s):
+            idx = jnp.clip(
+                ((s - lo) / (hi - lo) * hist_bins).astype(jnp.int32),
+                0,
+                hist_bins - 1,
+            )
+            idx = jnp.where(valid, idx, hist_bins)  # out of range -> dropped
+            return jax.lax.psum(
+                jnp.zeros(hist_bins, jnp.int32).at[idx].add(1, mode="drop"),
+                READS_AXIS,
+            )
+
+        return score1, score2, reversed_, hist_of(score1), hist_of(score2)
 
     return step(*front_arrays, *back_arrays)
 
