@@ -68,16 +68,98 @@ def _dfs_order(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return np.lexsort(tuple(key[:, c] for c in range(width - 1, -1, -1)))
 
 
+#: Below this many sequences the dense tiled matrix wins (fewer launches);
+#: above it the sparse row-block kernel keeps memory O(neighbours) instead of
+#: O(n^2).  Overridable for tests / tuning.
+SPARSE_MIN = int(__import__("os").environ.get("SARLACC_SPARSE_MIN", "2048"))
+
+
+def _neighbor_csr(
+    codes: np.ndarray, lengths: np.ndarray, limit: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Thresholded neighbour lists as CSR (flat int32, offsets int64).
+
+    Per query, neighbour indices appear in the trie's DFS emission order
+    (sorted_trie.cpp:285-296) so the greedy clusterer sees byte-identical
+    inputs.  Two regimes:
+
+    * small n — dense tiled distance matrix (one threshold pass);
+    * large n — duplicate strings collapse first (the trie memoizes
+      identical consecutive queries, sorted_trie.cpp:253-257 — dedup is the
+      batch analog), then the sparse device kernel emits only surviving
+      (i, j) pairs: the n x n matrix never exists, on host or device.
+    """
+    n = codes.shape[0]
+    if n < SPARSE_MIN:
+        mat = lev2_matrix(codes, lengths)
+        adj = mat <= 2 * int(limit)
+        order = _dfs_order(codes, lengths)
+        A = adj[order].T  # [query, rank]
+        q_arr, rank_arr = np.nonzero(A)  # row-major: q asc, rank asc
+        flat = order[rank_arr].astype(np.int32)
+        offsets = np.concatenate(
+            [[0], np.cumsum(A.sum(axis=1, dtype=np.int64))]
+        )
+        return flat, offsets
+
+    from ..ops.levenshtein import lev2_neighbor_pairs
+
+    u_codes, first_idx, inv, cnt = np.unique(
+        codes, axis=0, return_index=True, return_inverse=True,
+        return_counts=True,
+    )
+    inv = inv.reshape(-1)
+    u_lens = lengths[first_idx].astype(np.int32)
+    m = u_codes.shape[0]
+    qi, qj = lev2_neighbor_pairs(u_codes.astype(np.int32), u_lens, limit)
+
+    off_diag = qi != qj
+    ua = np.concatenate([qi, qj[off_diag]]).astype(np.int64)
+    va = np.concatenate([qj, qi[off_diag]]).astype(np.int64)
+
+    uorder = _dfs_order(u_codes, u_lens)
+    urank = np.empty(m, np.int64)
+    urank[uorder] = np.arange(m)
+
+    sortk = np.lexsort((urank[va], ua))
+    ua, va = ua[sortk], va[sortk]
+    u_deg = np.bincount(ua, minlength=m)
+    u_off = np.concatenate([[0], np.cumsum(u_deg)])
+
+    # Reads per unique, index order (== DFS order within a duplicate block:
+    # the stable lexsort keeps equal strings in index order).
+    order_by_uid = np.argsort(inv, kind="stable").astype(np.int64)
+    uid_off = np.concatenate([[0], np.cumsum(cnt)])
+
+    # Expand each unique-level neighbour v to its reads R_v.
+    lens_e = cnt[va]
+    e_cum = np.concatenate([[0], np.cumsum(lens_e)])
+    total = int(e_cum[-1])
+    offs = np.repeat(uid_off[va] - e_cum[:-1], lens_e)
+    L_flat = order_by_uid[offs + np.arange(total)].astype(np.int32)
+    exp_start_u = e_cum[u_off[:-1]]
+    exp_end_u = e_cum[u_off[1:]]
+
+    # Every read of unique u shares u's expanded list.
+    deg_r = (exp_end_u - exp_start_u)[inv]
+    offsets = np.concatenate([[0], np.cumsum(deg_r)])
+    offs_r = np.repeat(exp_start_u[inv] - offsets[:-1], deg_r)
+    flat = L_flat[offs_r + np.arange(int(offsets[-1]))]
+    return flat, offsets
+
+
+def _csr_to_lists(flat: np.ndarray, offsets: np.ndarray) -> list[list[int]]:
+    return [
+        flat[offsets[q] : offsets[q + 1]].tolist()
+        for q in range(offsets.size - 1)
+    ]
+
+
 def _neighbor_lists(
     codes: np.ndarray, lengths: np.ndarray, limit: int
 ) -> list[list[int]]:
     """Per sequence, indices within doubled distance 2*limit, DFS order."""
-    n = codes.shape[0]
-    mat = lev2_matrix(codes, lengths)
-    adj = mat <= 2 * int(limit)
-    order = _dfs_order(codes, lengths)
-    adj_ord = adj[order]  # rows in DFS order
-    return [order[adj_ord[:, q]].tolist() for q in range(n)]
+    return _csr_to_lists(*_neighbor_csr(codes, lengths, limit))
 
 
 @profiled("umi_group")
@@ -125,26 +207,31 @@ def umi_group(
 
         c1 = b1.codes[g].astype(np.int32)
         l1 = b1.lengths[g]
-        nb1 = _neighbor_lists(c1, l1, threshold1)
+        flat, offs = _neighbor_csr(c1, l1, threshold1)
 
-        if b2 is None:
-            storage = nb1
-        else:
-            sorted1 = [set(x) for x in nb1]
+        if b2 is not None:
             c2 = b2.codes[g].astype(np.int32)
             l2 = b2.lengths[g]
-            nb2 = _neighbor_lists(c2, l2, threshold2)
+            flat2, offs2 = _neighbor_csr(c2, l2, threshold2)
             # UMI2-query emission order, membership-tested against UMI1
-            # (umi_group.cpp:85-100).
-            storage = [
-                [m2 for m2 in nb2[q] if m2 in sorted1[q]] for q in range(curn)
-            ]
+            # (umi_group.cpp:85-100) — vectorized as (query, member) key
+            # intersection over the two CSR lists.
+            rq1 = np.repeat(np.arange(curn, dtype=np.int64), np.diff(offs))
+            rq2 = np.repeat(np.arange(curn, dtype=np.int64), np.diff(offs2))
+            keep = np.isin(
+                rq2 * curn + flat2.astype(np.int64),
+                rq1 * curn + flat.astype(np.int64),
+            )
+            flat = flat2[keep]
+            offs = np.concatenate(
+                [[0], np.cumsum(np.bincount(rq2[keep], minlength=curn))]
+            )
 
-        from ..native import greedy_cluster_native
+        from ..native import greedy_cluster_csr
 
-        clusters = greedy_cluster_native(storage)
+        clusters = greedy_cluster_csr(flat, offs)
         if clusters is None:
-            clusters = cluster_umis(storage)
+            clusters = cluster_umis(_csr_to_lists(flat, offs))
         for cl in clusters:
             output.append(g[np.asarray(cl, dtype=np.int64)])
     return output

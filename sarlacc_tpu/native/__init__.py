@@ -16,7 +16,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["get_lib", "native_available", "greedy_cluster_native", "triplet_extend_native", "accumulate_cost_native"]
+__all__ = ["get_lib", "native_available", "greedy_cluster_native", "greedy_cluster_csr", "triplet_extend_native", "accumulate_cost_native"]
 
 _SRC = os.path.join(os.path.dirname(__file__), "msa_host.cpp")
 _LOCK = threading.Lock()
@@ -89,9 +89,6 @@ def _ptr(a: np.ndarray, ct):
 
 def greedy_cluster_native(storage: list) -> list[list[int]] | None:
     """C++ greedy clustering; returns None if the library is unavailable."""
-    lib = get_lib()
-    if lib is None:
-        return None
     n = len(storage)
     offsets = np.zeros(n + 1, dtype=np.int64)
     for i, s in enumerate(storage):
@@ -99,6 +96,21 @@ def greedy_cluster_native(storage: list) -> list[list[int]] | None:
     flat = np.asarray(
         [int(v) for s in storage for v in s], dtype=np.int32
     )
+    return greedy_cluster_csr(flat, offsets)
+
+
+def greedy_cluster_csr(
+    flat: np.ndarray, offsets: np.ndarray
+) -> list[list[int]] | None:
+    """C++ greedy clustering on CSR neighbour lists (no list-of-lists
+    round trip — the scale path feeds this directly).  Returns None if the
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = offsets.size - 1
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    flat = np.ascontiguousarray(flat, dtype=np.int32)
     if flat.size == 0 and n > 0:
         flat = np.zeros(1, dtype=np.int32)
     out_members = np.zeros(max(n, 1), dtype=np.int32)

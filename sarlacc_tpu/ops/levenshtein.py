@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["lev2_pairs", "lev2_condensed", "lev2_matrix"]
+__all__ = ["lev2_pairs", "lev2_condensed", "lev2_matrix", "lev2_neighbor_pairs"]
 
 
 @jax.jit
@@ -78,21 +78,19 @@ def _bucket(n: int) -> int:
     return b
 
 
-@functools.partial(jax.jit, static_argnames=("TI", "TJ", "L", "wide"))
-def _lev2_tile_kernel(codes, lengths, i0, j0, TI: int, TJ: int, L: int, wide: bool = False):
-    """Doubled distances for one [TI, TJ] tile of the all-pairs matrix.
+def _tile_d2(codes, lengths, i0, j0, TI: int, TJ: int, L: int):
+    """Doubled-distance DP for one [TI, TJ] tile; returns int32 [TI, TJ].
 
     ``codes`` [N, L] int32 and ``lengths`` [N] stay device-resident across
     tiles — the host ships the n-row table once instead of materializing
     O(n^2) per-pair operand rows (which made umi_group upload-bound).
-
-    The readback is int16 (halves the transfer) unless ``wide`` — doubled
-    distances can reach 2*max(la, lb), so sequences longer than 16383 bases
-    must read back int32 to avoid silent wraparound.
     """
-    a = jax.lax.dynamic_slice(codes, (i0, 0), (TI, L))  # [TI, L]
+    i0 = jnp.asarray(i0, jnp.int32)
+    j0 = jnp.asarray(j0, jnp.int32)
+    z = jnp.int32(0)
+    a = jax.lax.dynamic_slice(codes, (i0, z), (TI, L))  # [TI, L]
     la = jax.lax.dynamic_slice(lengths, (i0,), (TI,)).astype(jnp.int32)
-    b = jax.lax.dynamic_slice(codes, (j0, 0), (TJ, L))  # [TJ, L]
+    b = jax.lax.dynamic_slice(codes, (j0, z), (TJ, L))  # [TJ, L]
     lb = jax.lax.dynamic_slice(lengths, (j0,), (TJ,)).astype(jnp.int32)
 
     idx = jnp.arange(L + 1, dtype=jnp.int32)
@@ -127,6 +125,18 @@ def _lev2_tile_kernel(codes, lengths, i0, j0, TI: int, TJ: int, L: int, wide: bo
     (_, ans), _ = jax.lax.scan(
         step, (prev0, ans0), jnp.arange(L, dtype=jnp.int32)
     )
+    return ans
+
+
+@functools.partial(jax.jit, static_argnames=("TI", "TJ", "L", "wide"))
+def _lev2_tile_kernel(codes, lengths, i0, j0, TI: int, TJ: int, L: int, wide: bool = False):
+    """One dense [TI, TJ] tile of the all-pairs matrix.
+
+    The readback is int16 (halves the transfer) unless ``wide`` — doubled
+    distances can reach 2*max(la, lb), so sequences longer than 16383 bases
+    must read back int32 to avoid silent wraparound.
+    """
+    ans = _tile_d2(codes, lengths, i0, j0, TI, TJ, L)
     return ans if wide else ans.astype(jnp.int16)
 
 
@@ -226,6 +236,155 @@ def lev2_condensed(codes: np.ndarray, lengths: np.ndarray, max_pairs: int = 1 <<
             codes[iu[sl]], lengths[iu[sl]], codes[ju[sl]], lengths[ju[sl]]
         )
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("TI", "TJ", "NJT", "L", "KCAP"))
+def _lev2_rowblock_sparse(
+    codes, lengths, n, i0, jt0, njt, thr,
+    TI: int, TJ: int, NJT: int, L: int, KCAP: int,
+):
+    """Thresholded neighbours of one row block, never materializing the tile
+    matrix on the host (the trie replacement at scale —
+    src/sorted_trie.cpp:107-187's result, dense-regular compute).
+
+    Scans ``NJT`` column tiles starting at ``jt0`` (only ``njt`` are real);
+    per query row, matched column indices (``d2 <= thr``, upper triangle
+    ``j >= i`` only, diagonal included) append in ascending-j order to a
+    [TI, KCAP] buffer via a lane-wise compaction sort — no device scatter,
+    whose scalar fallback on TPU costs ~90 ns/element.
+
+    Returns (nbrj [TI, KCAP] int32, counts [TI] int32).  ``counts`` may
+    exceed KCAP: overflow rows lost entries and the caller must retry with a
+    bigger KCAP (power-of-two bucketed, so recompiles stay bounded).
+    """
+    i0 = jnp.asarray(i0, jnp.int32)
+    jt0 = jnp.asarray(jt0, jnp.int32)
+    n = jnp.asarray(n, jnp.int32)
+    njt = jnp.asarray(njt, jnp.int32)
+    thr = jnp.asarray(thr, jnp.int32)
+    ig = i0 + jnp.arange(TI, dtype=jnp.int32)[:, None]  # [TI, 1]
+    DEADJ = jnp.int32(0x3FFFFFFF)
+
+    def step(carry, t):
+        buf, cnt = carry  # buf [TI, KCAP] ascending-j (DEADJ pad), cnt [TI]
+        jt = jt0 + t * TJ
+        d2 = _tile_d2(codes, lengths, i0, jt, TI, TJ, L)
+        jg = jt + jnp.arange(TJ, dtype=jnp.int32)[None, :]  # [1, TJ]
+        ok = (
+            (d2 <= thr)
+            & (jg >= ig)
+            & (jg < n)
+            & (ig < n)
+            & (t < njt)
+        )
+        hits = jnp.where(ok, jg, DEADJ).astype(jnp.int32)  # already ascending
+        cat = jnp.concatenate([buf, hits], axis=1)  # [TI, KCAP + TJ]
+        # Lane-wise compaction: entries keep relative order (keys are their
+        # original lanes, unique), dead entries (DEADJ) sink right because
+        # both halves individually have dead entries rightmost... not true of
+        # `hits`, so key dead lanes to the far right explicitly.
+        lanes = jnp.arange(KCAP + TJ, dtype=jnp.int32)[None, :]
+        key = jnp.where(cat == DEADJ, lanes + (KCAP + TJ), lanes)
+        key = jnp.broadcast_to(key, cat.shape)
+        _, packed = jax.lax.sort((key, cat), dimension=1, num_keys=1)
+        return (packed[:, :KCAP], cnt + ok.sum(axis=1).astype(jnp.int32)), None
+
+    buf0 = jnp.full((TI, KCAP), DEADJ, jnp.int32)
+    cnt0 = jnp.zeros(TI, jnp.int32)
+    (buf, cnt), _ = jax.lax.scan(
+        step, (buf0, cnt0), jnp.arange(NJT, dtype=jnp.int32)
+    )
+    return buf, cnt
+
+
+def lev2_neighbor_pairs(
+    codes: np.ndarray, lengths: np.ndarray, limit: int,
+    tile: int = 256, kcap: int = 64,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sparse thresholded neighbours: all (i, j), i <= j, with doubled
+    distance <= 2*limit — including the diagonal, which is NOT free when a
+    sequence contains N (sorted_trie.cpp:13-21).
+
+    The O(n^2) distance matrix never exists anywhere: tiles stream through
+    the device row-block kernel, which emits only the surviving column
+    indices.  Two exact prunes:
+
+    * rows are processed in length-sorted order so column tiles entirely
+      outside ``|la - lb| <= limit`` (doubled indel cost 2 makes the bound
+      exact) are never dispatched;
+    * only the upper triangle is computed (results mirror on the host).
+
+    Returns (qi, qj) int32 arrays in original index space.
+    """
+    n = codes.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    thr = 2 * int(limit)
+    lengths = np.asarray(lengths, np.int32)
+    perm = np.argsort(lengths, kind="stable").astype(np.int64)
+    s_len = lengths[perm]
+
+    Lb = 8
+    while Lb < codes.shape[1]:
+        Lb *= 2
+    TI = TJ = min(tile, _bucket(n) if n > 256 else 256)
+    n_pad = ((n + TI - 1) // TI) * TI
+    cp = np.full((n_pad, Lb), 5, np.int32)
+    cp[:n, : codes.shape[1]] = codes[perm]
+    lp = np.zeros(n_pad, np.int32)
+    lp[:n] = s_len
+    codes_dev = jnp.asarray(cp)
+    lens_dev = jnp.asarray(lp)
+
+    def _bkt(x, base):
+        b = base
+        while b < x:
+            b *= 2
+        return b
+
+    # Per row block: column range from the exact length prune, upper
+    # triangle only.  NJT buckets to a power of two so compiles stay bounded.
+    blocks = []
+    for i0 in range(0, n_pad, TI):
+        hi_len = int(s_len[min(i0 + TI, n) - 1]) if i0 < n else 0
+        j_hi = int(np.searchsorted(s_len, hi_len + int(limit), side="right"))
+        jt0 = i0  # j >= i
+        njt = max(0, -(-(min(max(j_hi, i0 + 1), n) - jt0) // TJ))
+        if i0 < n and njt > 0:
+            blocks.append((i0, jt0, njt))
+
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    todo = [(i0, jt0, njt, kcap) for (i0, jt0, njt) in blocks]
+    while todo:
+        inflight = []
+        for i0, jt0, njt, kc in todo:
+            dev = _lev2_rowblock_sparse(
+                codes_dev, lens_dev, n, i0, jt0, njt, thr,
+                TI=TI, TJ=TJ, NJT=_bkt(njt, 1), L=Lb, KCAP=_bkt(kc, 64),
+            )
+            inflight.append((i0, jt0, njt, kc, dev))
+        todo = []
+        for i0, jt0, njt, kc, (buf_dev, cnt_dev) in inflight:
+            cnt = np.asarray(cnt_dev)
+            over = cnt > _bkt(kc, 64)
+            if over.any():
+                todo.append((i0, jt0, njt, int(cnt.max())))
+                continue
+            buf = np.asarray(buf_dev)
+            lanes = np.arange(buf.shape[1], dtype=np.int32)[None, :]
+            mask = lanes < cnt[:, None]  # row-major select keeps per-row order
+            out_i.append(np.repeat(i0 + np.arange(buf.shape[0], dtype=np.int32), cnt))
+            out_j.append(buf[mask])
+    if not out_i:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    si = np.concatenate(out_i)
+    sj = np.concatenate(out_j)
+    # The upper triangle was in length-sorted space; normalize back to
+    # original-index orientation (i <= j).
+    oi = perm[si].astype(np.int32)
+    oj = perm[sj].astype(np.int32)
+    return np.minimum(oi, oj), np.maximum(oi, oj)
 
 
 def lev2_matrix(codes: np.ndarray, lengths: np.ndarray, max_pairs: int = 1 << 22) -> np.ndarray:

@@ -91,6 +91,60 @@ def test_neighbor_sets_match_trie_oracle(rng, limit):
     assert dev == [list(map(int, x)) for x in ref]
 
 
+@pytest.mark.parametrize("limit", [1, 2, 5])
+def test_sparse_neighbor_pairs_match_dense(rng, limit):
+    """The sparse row-block kernel's surviving (i, j) pairs equal the dense
+    matrix thresholded — duplicates, Ns, empties and mixed lengths."""
+    from sarlacc_tpu.ops.levenshtein import lev2_neighbor_pairs
+
+    seqs = rand_seqs(rng, 40, 2, 9, p_n=0.1) + ["ACGT"] * 6 + ["", "N"]
+    codes, lengths = encode_batch(seqs)
+    codes = codes.astype(np.int32)
+    mat = lev2_matrix(codes, lengths)
+    qi, qj = lev2_neighbor_pairs(codes, lengths, limit, tile=16, kcap=4)
+    got = set(zip(qi.tolist(), qj.tolist()))
+    want = {
+        (i, j)
+        for i in range(len(seqs))
+        for j in range(i, len(seqs))
+        if mat[i, j] <= 2 * limit
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("limit", [2, 5])
+def test_sparse_neighbor_lists_match_dense_path(rng, limit, monkeypatch):
+    """CSR assembly (dedup + expansion + DFS ordering) is byte-identical to
+    the dense path and hence to the trie oracle."""
+    import sarlacc_tpu.api.umi as umi_mod
+
+    seqs = rand_seqs(rng, 30, 4, 6, p_n=0.05) + ["ACGT"] * 8 + ["N", "N"]
+    codes, lengths = encode_batch(seqs)
+    codes = codes.astype(np.int32)
+    dense = _neighbor_lists(codes, lengths, limit)
+    monkeypatch.setattr(umi_mod, "SPARSE_MIN", 1)
+    sparse = _neighbor_lists(codes, lengths, limit)
+    assert sparse == dense
+    ref = find_neighbors(seqs, limit)
+    assert sparse == [list(map(int, x)) for x in ref]
+
+
+def test_umi_group_sparse_path_parity(rng, monkeypatch):
+    """umi_group end-to-end (incl. dual-UMI intersection) is unchanged when
+    the sparse kernel replaces the dense matrix."""
+    from sarlacc_tpu.api.umi import umi_group
+    import sarlacc_tpu.api.umi as umi_mod
+
+    u1 = rand_seqs(rng, 50, 5, 7, p_n=0.05) + ["ACGTA"] * 10
+    u2 = rand_seqs(rng, 50, 5, 7, p_n=0.05) + ["TTGCA"] * 10
+    dense = umi_group(u1, threshold1=2, umi2=u2, threshold2=2)
+    monkeypatch.setattr(umi_mod, "SPARSE_MIN", 1)
+    sparse = umi_group(u1, threshold1=2, umi2=u2, threshold2=2)
+    assert len(dense) == len(sparse)
+    for a, b in zip(dense, sparse):
+        assert np.array_equal(a, b)
+
+
 def test_tile_kernel_wide_matches_int16():
     """The wide (int32) tile readback is value-identical to the int16 path
     for short sequences; long sequences (>16383) must select it to avoid
