@@ -171,8 +171,15 @@ def umi_group(
     max_err: float | None = None,
     groups: Sequence | None = None,
     qual_type: str = "phred",
+    mesh=None,
 ) -> list[np.ndarray]:
-    """Group reads by UMI similarity; returns a list of 0-based index arrays."""
+    """Group reads by UMI similarity; returns a list of 0-based index arrays.
+
+    With ``mesh``, pre-groups are shuffled so each lands wholly on one shard
+    (SURVEY.md §5.8(iii)) and grouped there in parallel
+    (:func:`..parallel.shuffle.sharded_umi_group`); the merged output is
+    identical to the single-device run.
+    """
     if threshold2 is None:
         threshold2 = threshold1
     b1 = quality_mask(umi1, max_err, qual_type)
@@ -197,6 +204,13 @@ def umi_group(
             np.flatnonzero(groups == v).astype(np.int64)
             for v in np.unique(groups)
         ]
+
+    if mesh is not None:
+        from ..parallel.shuffle import sharded_umi_group
+
+        return sharded_umi_group(
+            mesh, b1, int(threshold1), by_group, b2, int(threshold2)
+        )
 
     output: list[np.ndarray] = []
     for g in by_group:
