@@ -1,20 +1,31 @@
-"""Benchmark: end-to-end pipeline throughput on one chip.
+"""Benchmarks: end-to-end pipeline + BASELINE.json workload configs.
 
-Workload (seeded, in-memory): mock long reads with planted adaptors, barcode
-and UMI -> adaptor_align -> umi_group -> multi_read_align -> consensus.
-Metric: reads/s through the full correction pipeline (BASELINE.md).
+Configs (BASELINE.md / BASELINE.json):
+
+* ``pipeline``   — mock long reads with planted adaptors, barcode and UMI ->
+  adaptor_align -> umi_group -> multi_read_align -> consensus.  Headline
+  metric: reads/s through the full correction pipeline.
+* ``demux_100k`` — 100k reads x 2 adaptors (score-only strand resolution) +
+  12 barcodes, the calibration/demux path.  Reports reads/s, measured DP
+  GCUPS, and the fraction of the score kernel's VPU-issue roofline.
+* ``umi_100k``   — 100k-UMI single pre-group thresholded grouping through
+  the sparse device neighbour kernel.
 
 ``vs_baseline`` is relative to a nominal 100 reads/s/core estimate for the
-reference's single-core C++ path on the same workload (the reference
+reference's single-core C++ path on the pipeline workload (the reference
 publishes no numbers — BASELINE.md; its own vignette calls the MSA "often
 the most time-consuming step").  One warmup pass absorbs jit compilation,
 mirroring steady-state streaming operation.
+
+Output: ONE JSON line with the headline metric; per-config results ride in
+the same object under ``configs`` and per-stage seconds under ``stages``.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -26,11 +37,31 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 NOMINAL_BASELINE_READS_PER_S = 100.0
 
+# Speed-of-light for the score-only Pallas kernel: VPU issue rate =
+# cores x 4 ALUs x (8 sublanes x 128 lanes) x clock, divided by the
+# kernel's static instruction count per DP cell (~60: IUPAC 5-way select
+# ~16, affine recurrence ~10, log-shift prefix-max over 256 sublanes ~28,
+# boundary selects ~6 — ops/pallas_align.py:_kernel).  That is the ceiling
+# for THIS instruction stream; roofline_frac is measured GCUPS against it.
+_VPU_OPS_PER_S = {
+    # chip kind -> (TensorCores, clock Hz)
+    "v5e": 1 * 4 * (8 * 128) * 1.74e9,  # TPU v5 lite: 1 core @ ~1.74 GHz
+    "v5p": 2 * 4 * (8 * 128) * 1.75e9,
+}
+KERNEL_OPS_PER_CELL = 60.0
+
+
+def _roofline_gcups() -> float:
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    key = "v5e" if ("lite" in kind or "v5e" in kind) else "v5p"
+    return _VPU_OPS_PER_S[key] / KERNEL_OPS_PER_CELL / 1e9
+
 
 def build_workload(n_molecules=24, reads_per_mol=(8, 14), seqlen=(400, 700), seed=7):
-    from sarlacc_tpu.core.encode import SeqBatch
     from sarlacc_tpu.io.mock import mock_reads
-    import tempfile, os
+    import tempfile
 
     adaptor1 = "ACGCTAGCATCAGTC" + "NNNN" + "CACAGCTACGA" + "NNNNNNNN" + "CGTACGCAT"
     adaptor2 = "TGCATCGATCGCAT"
@@ -75,34 +106,143 @@ def run_pipeline(adaptor1, adaptor2, batch, tolerance=250, timings=None):
     return len(batch), len(cons)
 
 
-def main():
+def bench_pipeline():
     adaptor1, adaptor2, batch = build_workload()
-
-    # Warmup on the full workload so every bucket shape is compiled; the
-    # measured pass is steady-state streaming throughput.
-    run_pipeline(adaptor1, adaptor2, batch)
-
-    import sys
+    run_pipeline(adaptor1, adaptor2, batch)  # warmup: compile every bucket
 
     timings: list = []
     t0 = time.time()
-    nreads, ncons = run_pipeline(adaptor1, adaptor2, batch, timings=timings)
+    nreads, _ = run_pipeline(adaptor1, adaptor2, batch, timings=timings)
+    elapsed = time.time() - t0
+    stages = {
+        name: round(t - prev, 3)
+        for (name, t), (_, prev) in zip(timings[1:], timings[:-1])
+    }
+    return {
+        "reads_per_s": round(nreads / elapsed, 2),
+        "n_reads": nreads,
+        "seconds": round(elapsed, 3),
+        "stages": stages,
+    }
+
+
+def _random_reads(n, length, seed):
+    from sarlacc_tpu.core.encode import SeqBatch
+
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, (n, length)).astype(np.int8)
+    lengths = np.full(n, length, dtype=np.int64)
+    quals = rng.integers(20, 60, (n, length)).astype(np.uint8) + 33
+    return SeqBatch(codes, lengths, quals, None)
+
+
+def bench_demux(n_reads=100_000, tolerance=250, n_barcodes=12, bc_len=12, seed=3):
+    """Score-only adaptor scan (strand resolution) + 12-barcode demux."""
+    import sarlacc_tpu as st
+    from sarlacc_tpu.api.align_internal import align_scores_only, prepare_adaptor, resolve_strand
+    from sarlacc_tpu.utils.profiling import get_profiler
+
+    a1 = prepare_adaptor("ACGCTAGCATCAGTCNNNNCACAGCTACGANNNNNNNNCGTACGCAT")
+    a2 = prepare_adaptor("TGCATCGATCGCAT")
+    front = _random_reads(n_reads, tolerance, seed)
+    back = _random_reads(n_reads, tolerance, seed + 1)
+    rng = np.random.default_rng(seed + 2)
+    barcodes = [
+        "".join(rng.choice(list("ACGT"), bc_len)) for _ in range(n_barcodes)
+    ]
+    observed = _random_reads(n_reads, bc_len, seed + 3)
+
+    def one_pass():
+        s_start = align_scores_only(a1, front, 5.0, 1.0)
+        s_end = align_scores_only(a2, back, 5.0, 1.0)
+        s_rstart = align_scores_only(a1, back, 5.0, 1.0)
+        s_rend = align_scores_only(a2, front, 5.0, 1.0)
+        resolve_strand(s_start, s_end, s_rstart, s_rend)
+        st.barcode_align(observed, barcodes)
+
+    one_pass()  # warmup/compile
+    prof = get_profiler()
+    before = {
+        k: (s.seconds, s.cells) for k, s in prof.stages.items()
+    }
+    t0 = time.time()
+    one_pass()
     elapsed = time.time() - t0
 
-    for (name, t), (_, prev) in zip(timings[1:], timings[:-1]):
-        print(f"[bench] {name}: {t - prev:.2f}s", file=sys.stderr)
+    roofline = _roofline_gcups()
+    cells = secs = 0.0
+    for k, s in prof.stages.items():
+        b = before.get(k, (0.0, 0))
+        if k.startswith("align."):
+            cells += s.cells - b[1]
+            secs += s.seconds - b[0]
+    gcups = cells / secs / 1e9 if secs else 0.0
+    return {
+        "reads_per_s": round(n_reads / elapsed, 1),
+        "n_reads": n_reads,
+        "seconds": round(elapsed, 3),
+        "dp_cells": int(cells),
+        "gcups": round(gcups, 2),
+        "roofline_gcups": round(roofline, 1),
+        "roofline_frac": round(gcups / roofline, 4),
+    }
 
-    value = nreads / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "pipeline_reads_per_s",
-                "value": round(value, 2),
-                "unit": "reads/s/chip",
-                "vs_baseline": round(value / NOMINAL_BASELINE_READS_PER_S, 3),
-            }
-        )
-    )
+
+def bench_umi(n_umis=100_000, umi_len=10, n_clusters=20_000, threshold=2, seed=5):
+    """Single-pre-group thresholded UMI grouping at scale (sparse kernel)."""
+    import sarlacc_tpu as st
+    from sarlacc_tpu.core.encode import SeqBatch
+
+    rng = np.random.default_rng(seed)
+    centers = rng.integers(0, 4, (n_clusters, umi_len)).astype(np.int8)
+    pick = rng.integers(0, n_clusters, n_umis)
+    codes = centers[pick]
+    # mutate ~30% of reads by 1 base
+    mut = rng.random(n_umis) < 0.3
+    pos = rng.integers(0, umi_len, n_umis)
+    sub = rng.integers(0, 4, n_umis).astype(np.int8)
+    codes[mut, pos[mut]] = sub[mut]
+    batch = SeqBatch(codes, np.full(n_umis, umi_len, np.int64), None, None)
+
+    st.umi_group(batch.take(np.arange(n_umis // 4)), threshold1=threshold)  # warmup
+    t0 = time.time()
+    groups = st.umi_group(batch, threshold1=threshold)
+    elapsed = time.time() - t0
+    return {
+        "umis_per_s": round(n_umis / elapsed, 1),
+        "n_umis": n_umis,
+        "n_groups": len(groups),
+        "seconds": round(elapsed, 3),
+    }
+
+
+def main():
+    configs: dict = {}
+    t_all = time.time()
+    configs["pipeline"] = bench_pipeline()
+    print(f"[bench] pipeline: {configs['pipeline']}", file=sys.stderr)
+    try:
+        configs["demux_100k"] = bench_demux()
+        print(f"[bench] demux_100k: {configs['demux_100k']}", file=sys.stderr)
+    except Exception as e:  # never lose the headline metric
+        configs["demux_100k"] = {"error": str(e)[:200]}
+    try:
+        configs["umi_100k"] = bench_umi()
+        print(f"[bench] umi_100k: {configs['umi_100k']}", file=sys.stderr)
+    except Exception as e:
+        configs["umi_100k"] = {"error": str(e)[:200]}
+
+    value = configs["pipeline"]["reads_per_s"]
+    out = {
+        "metric": "pipeline_reads_per_s",
+        "value": value,
+        "unit": "reads/s/chip",
+        "vs_baseline": round(value / NOMINAL_BASELINE_READS_PER_S, 3),
+        "stages": configs["pipeline"]["stages"],
+        "configs": configs,
+        "total_bench_seconds": round(time.time() - t_all, 1),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

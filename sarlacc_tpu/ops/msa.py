@@ -702,12 +702,14 @@ def _merge_from_library_kernel(
     is the difference between ~85 ms and ~30 ms per wave launch.
     """
     e = jnp.arange(E, dtype=jnp.int32)
-    # seg_id as a fused comparison-count: XLA's searchsorted lowers to a
-    # gather-heavy binary-search loop (~20 ms at E=262k); counting
-    # seg_cum <= e reduces over S in one vectorized pass (<1 ms).
-    seg_id = jnp.clip(
-        jnp.sum(seg_cum[None, :] <= e[:, None], axis=1), 0, S - 1
-    ).astype(jnp.int32)
+    # seg_id via boundary scatter + prefix sum: O(E + S), vs O(E*S) for a
+    # comparison count and a gather-heavy binary-search loop for XLA's
+    # searchsorted.  Segment i covers entries [seg_cum[i-1], seg_cum[i]);
+    # dropping a 1 at each segment's end and cumsumming counts, at entry e,
+    # exactly #{i : seg_cum[i] <= e} — zero-length (padded) segments stack
+    # their boundaries and are skipped, matching the comparison count.
+    starts = jnp.zeros(E, jnp.int32).at[seg_cum[:-1]].add(1, mode="drop")
+    seg_id = jnp.clip(jnp.cumsum(starts), 0, S - 1).astype(jnp.int32)
     seg = seg_tab[seg_id]  # [E, 9] one row gather for all per-segment data
     s_start, s_cum, s_len = seg[:, 0], seg[:, 1], seg[:, 2]
     m, s_aoff, s_boff = seg[:, 3], seg[:, 4], seg[:, 5]
