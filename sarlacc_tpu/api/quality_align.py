@@ -12,7 +12,7 @@ import numpy as np
 from ..core.encode import SeqBatch
 from ..core.frame import Frame
 from ..ops.align import dp_align, prepare_reads
-from ..ops.backtrack import backtrack_strings
+from ..ops.backtrack import assemble_strings, string_walk_device
 from .align_internal import prepare_adaptor
 from ..utils.profiling import profiled
 
@@ -45,21 +45,15 @@ def quality_align(
         need_directions=True,
     )
     scores = np.asarray(scores, dtype=np.float64)
-    dirs = np.asarray(dirs)
 
-    n = len(sequences)
+    # Backtrack on device: the [R, N, L+1] direction tensor never leaves
+    # HBM; only the [N, R+L+1] emission arrays transfer (the remote tunnel
+    # moves ~25 MB/s, and R*L >> R+L).
     seq_strs = sequences.seq_strings()
-    edits = np.zeros(n, dtype=np.int64)
-    refalign: list[str] = []
-    qalign: list[str] = []
-    for i in range(n):
-        rstr, qstr = backtrack_strings(
-            dirs[:, i, : int(lengths[i]) + 1], len(ref), ref, seq_strs[i]
-        )
-        edits[i] = sum(1 for a, b in zip(rstr, qstr) if a != b)
-        if not edit_only:
-            refalign.append(rstr)
-            qalign.append(qstr)
+    a_pos, b_pos, ncols = string_walk_device(dirs, lengths)
+    refalign, qalign, edits = assemble_strings(
+        a_pos, b_pos, ncols, ref, seq_strs
+    )
 
     cols = {"score": scores, "edit": edits}
     if not edit_only:

@@ -29,6 +29,8 @@ __all__ = [
     "backtrack_strings",
     "qmap_walk_device",
     "query_windows",
+    "string_walk_device",
+    "assemble_strings",
 ]
 
 
@@ -122,6 +124,105 @@ def query_windows(
     else:
         curend = dp_row[:, e2].astype(np.int64)
     return curstart - 1, curend - 1
+
+
+@jax.jit
+def string_walk_device(dirs, lengths):
+    """Batched on-device replay of the template backtrack -> gapped strings.
+
+    The direction tensor stays in HBM; per read only two [T] int16 emission
+    arrays (T = R + L + 1) come back: position t holds the reference
+    position (0 = gap) and query position (0 = gap) of the t-th alignment
+    column FROM THE END (the walk runs backwards,
+    reference_align.cpp:353-389).  Decode with :func:`assemble_strings`.
+
+    Returns (a_pos [N, T] int16, b_pos [N, T] int16, ncols [N] int32).
+    """
+    R, N, L1 = dirs.shape
+    flat = dirs.transpose(1, 0, 2).reshape(N, R * L1)
+    T = R + L1 + 1
+    narr = jnp.arange(N)
+
+    col0 = jnp.full(N, R, jnp.int32)
+    row0 = jnp.asarray(lengths, jnp.int32)
+    z = jnp.zeros(N, jnp.int32)
+    oa0 = jnp.zeros((N, T + 1), jnp.int16)
+    ob0 = jnp.zeros((N, T + 1), jnp.int16)
+
+    def cond(c):
+        col, row, rc, uc, t, oa, ob, it = c
+        return jnp.logical_and(
+            jnp.any(jnp.logical_or(col > 0, row > 0)), it < T + 8
+        )
+
+    def step(c):
+        col, row, rc, uc, t, oa, ob, it = c
+        active = jnp.logical_or(col > 0, row > 0)
+        idx = jnp.clip((col - 1) * L1 + row, 0, R * L1 - 1)
+        d = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0].astype(jnp.int32)
+
+        fresh = active & (rc == 0) & (uc == 0)
+        tailq = fresh & (col == 0)  # i exhausted: trailing query columns
+        see_up = fresh & ~tailq & (row > 0) & (d < 0)
+        diag = fresh & ~tailq & ~see_up & (d == 0)
+        newl = fresh & ~tailq & ~see_up & (d > 0)
+
+        uc2 = jnp.where(see_up, -d, uc)
+        rc2 = jnp.where(newl, d, rc)
+
+        emit_up = active & (uc2 > 0) & ~diag & ~newl & ~tailq
+        emit_left = active & (rc2 > 0) & ~emit_up & ~diag & ~tailq
+
+        # Exactly one emission per active read per step.
+        wa = jnp.where(emit_left | diag, col, 0).astype(jnp.int16)
+        wb = jnp.where(emit_up | tailq | diag, row, 0).astype(jnp.int16)
+        slot = jnp.where(active, jnp.clip(t, 0, T), T)
+        oa = oa.at[narr, slot].set(wa)
+        ob = ob.at[narr, slot].set(wb)
+
+        row = row - (emit_up | tailq | diag)
+        col = col - (emit_left | diag)
+        uc = uc2 - emit_up
+        rc = rc2 - emit_left
+        t = t + active
+        return col, row, rc, uc, t, oa, ob, it + 1
+
+    def multi_step(c):
+        return jax.lax.fori_loop(0, 8, lambda _, x: step(x), c)
+
+    _, _, _, _, t, oa, ob, _ = jax.lax.while_loop(
+        cond, multi_step, (col0, row0, z, z, z, oa0, ob0, jnp.int32(0))
+    )
+    return oa[:, :T], ob[:, :T], t
+
+
+def assemble_strings(a_pos, b_pos, ncols, refseq: str, seqs: list[str]):
+    """Emission arrays -> gapped (reference, query) strings + edit counts.
+
+    Vectorized decode of :func:`string_walk_device`'s output: one fancy-index
+    per side builds [N, T] byte planes; per read the first ``ncols`` bytes,
+    reversed, are the alignment (the walk emits back-to-front).  Edits count
+    differing columns (general_align.cpp:47-52).
+    """
+    a_pos = np.asarray(a_pos, dtype=np.int64)
+    b_pos = np.asarray(b_pos, dtype=np.int64)
+    ncols = np.asarray(ncols, dtype=np.int64)
+    N, T = a_pos.shape
+    rbytes = np.frombuffer(("-" + refseq).encode(), dtype=np.uint8)
+    ra = rbytes[a_pos]  # [N, T] uint8
+    maxq = max((len(s) for s in seqs), default=0)
+    qmat = np.full((N, maxq + 1), ord("-"), np.uint8)
+    for i, s in enumerate(seqs):
+        if s:
+            qmat[i, 1 : len(s) + 1] = np.frombuffer(s.encode(), dtype=np.uint8)
+    qa = qmat[np.arange(N)[:, None], np.clip(b_pos, 0, maxq)]
+    qa[b_pos == 0] = ord("-")
+
+    live = np.arange(T)[None, :] < ncols[:, None]
+    edits = ((ra != qa) & live).sum(axis=1).astype(np.int64)
+    refalign = [ra[i, : ncols[i]][::-1].tobytes().decode() for i in range(N)]
+    qalign = [qa[i, : ncols[i]][::-1].tobytes().decode() for i in range(N)]
+    return refalign, qalign, edits
 
 
 def backtrack_map(dirs_nr: np.ndarray, rlen: int) -> QueryMap:
