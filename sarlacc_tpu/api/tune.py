@@ -175,11 +175,14 @@ def get_adaptor_thresholds(
         if filepath is None:
             raise ValueError("aligned frame metadata carries no filepath")
         parts = []
-        wanted = set(aligned.rownames or [])
+        wanted = np.asarray(aligned.rownames or [], dtype=object)
         for chunk in stream_fastq(filepath, chunk_size=number):
-            keep = [i for i, nm in enumerate(chunk.names or []) if nm in wanted]
-            if keep:
-                parts.append(chunk.take(np.asarray(keep)))
+            # Vectorized membership test: this is the one calibration path
+            # that must touch the whole file (R/getAdaptorThresholds.R:35-48).
+            names = np.asarray(chunk.names or [], dtype=object)
+            keep = np.flatnonzero(np.isin(names, wanted))
+            if keep.size:
+                parts.append(chunk.take(keep))
         reads = SeqBatch.concat(parts)
 
     rng = np.random.default_rng(seed)

@@ -397,14 +397,10 @@ def lev2_matrix(codes: np.ndarray, lengths: np.ndarray, max_pairs: int = 1 << 22
     """
     n = codes.shape[0]
     if n >= 2:
+        # The tiled kernel computes the diagonal (i0 == j0 tiles include it),
+        # so no special-casing is needed here.
         return _lev2_matrix_tiled(codes.astype(np.int32), lengths)
     mat = np.zeros((n, n), dtype=np.int32)
-    cond = lev2_condensed(codes, lengths, max_pairs=max_pairs)
-    iu, ju = np.triu_indices(n, k=1)
-    mat[iu, ju] = cond
-    mat[ju, iu] = cond
-    has_n = np.any(codes[:, : codes.shape[1]] == 4, axis=1) if codes.size else np.zeros(0, bool)
-    idx = np.flatnonzero(has_n)
-    if idx.size:
-        mat[idx, idx] = _run_pairs(codes[idx], lengths[idx], codes[idx], lengths[idx])
+    if n == 1:
+        mat[0, 0] = _run_pairs(codes, lengths, codes, lengths)[0]
     return mat
