@@ -210,53 +210,71 @@ def _nj_tree(dist: np.ndarray) -> list[tuple[int, int]]:
 
 
 class _Profile:
-    """members: local sequence indices; col2pos[m][c] = 1-based seq position
-    or 0 for gap, for each column c."""
+    """members: local sequence indices; c2p[m, c] = 1-based seq position
+    or 0 for gap, for member m at column c ([nmembers, ncols] int32)."""
 
-    def __init__(self, members: list[int], col2pos: list[np.ndarray]):
+    def __init__(self, members: list[int], c2p: np.ndarray):
         self.members = members
-        self.col2pos = col2pos
+        self.c2p = c2p
 
     @property
     def ncols(self) -> int:
-        return self.col2pos[0].size if self.col2pos else 0
+        return self.c2p.shape[1]
 
     @classmethod
     def leaf(cls, m: int, length: int) -> "_Profile":
-        return cls([m], [np.arange(1, length + 1, dtype=np.int32)])
+        return cls([m], np.arange(1, length + 1, dtype=np.int32)[None, :])
+
+
+def _merge_columns(la: int, lb: int, ai, bi):
+    """Merged column layout for matched pairs (ai, bi) (1-based ascending).
+
+    Returns (acol, bcol): for each merged column, the source column in A/B
+    (1-based) or 0 for a gap.  Vectorized equivalent of the reference merge
+    walk (a-gap run, then b-gap run, then the match — quick_msa's progressive
+    column interleaving): match t lands at ai[t]+bi[t]-t-2; an unmatched
+    a-column ca after m matches lands at ca-1-m+bi[m-1]; an unmatched
+    b-column cb before match m lands at ai[m]-1-m+cb-1 (trailing run uses
+    ai[M] = la+1).
+    """
+    ai = np.asarray(ai, dtype=np.int64)
+    bi = np.asarray(bi, dtype=np.int64)
+    M = ai.size
+    ncols = la + lb - M
+    acol = np.zeros(ncols, dtype=np.int32)
+    bcol = np.zeros(ncols, dtype=np.int32)
+    if M:
+        mpos = ai + bi - np.arange(M) - 2
+        acol[mpos] = ai
+        bcol[mpos] = bi
+    a_hit = np.zeros(la + 1, dtype=bool)
+    a_hit[ai] = True
+    ua = np.flatnonzero(~a_hit[1:]).astype(np.int64) + 1
+    if ua.size:
+        m = np.searchsorted(ai, ua)
+        bprev = np.concatenate([[0], bi])[m]
+        acol[ua - 1 - m + bprev] = ua
+    b_hit = np.zeros(lb + 1, dtype=bool)
+    b_hit[bi] = True
+    ub = np.flatnonzero(~b_hit[1:]).astype(np.int64) + 1
+    if ub.size:
+        m = np.searchsorted(bi, ub)
+        anext = np.concatenate([ai, [la + 1]])[m]
+        bcol[anext - 1 - m + ub - 1] = ub
+    return acol, bcol
 
 
 def _apply_merge(pa: _Profile, pb: _Profile, ai, bi) -> _Profile:
-    la, lb = pa.ncols, pb.ncols
-    # Build merged columns.
-    cols: list[tuple[int, int]] = []  # (a_col or 0, b_col or 0), 1-based
-    ia = ib = 1
-    for ca, cb in zip(ai, bi):
-        while ia < ca:
-            cols.append((ia, 0))
-            ia += 1
-        while ib < cb:
-            cols.append((0, ib))
-            ib += 1
-        cols.append((ca, cb))
-        ia += 1
-        ib += 1
-    while ia <= la:
-        cols.append((ia, 0))
-        ia += 1
-    while ib <= lb:
-        cols.append((0, ib))
-        ib += 1
-
-    acol = np.asarray([c[0] for c in cols], dtype=np.int32)
-    bcol = np.asarray([c[1] for c in cols], dtype=np.int32)
-    new_c2p: list[np.ndarray] = []
-    for m in range(len(pa.members)):
-        src = np.concatenate([[0], pa.col2pos[m]])
-        new_c2p.append(src[acol])
-    for m in range(len(pb.members)):
-        src = np.concatenate([[0], pb.col2pos[m]])
-        new_c2p.append(src[bcol])
+    acol, bcol = _merge_columns(pa.ncols, pb.ncols, ai, bi)
+    za = np.zeros((pa.c2p.shape[0], 1), dtype=np.int32)
+    zb = np.zeros((pb.c2p.shape[0], 1), dtype=np.int32)
+    new_c2p = np.concatenate(
+        [
+            np.concatenate([za, pa.c2p], axis=1)[:, acol],
+            np.concatenate([zb, pb.c2p], axis=1)[:, bcol],
+        ],
+        axis=0,
+    )
     return _Profile(pa.members + pb.members, new_c2p)
 
 
@@ -268,17 +286,23 @@ def _merge_descriptor(gi, pa: _Profile, pb: _Profile, pair_seg, bandwidth: int):
     hi = max(0, diff) + bandwidth
 
     def flat_maps(prof: _Profile):
-        maps, offs = [], []
-        at = 0
-        for c2p in prof.col2pos:
-            size = int(c2p.max(initial=0)) + 1
-            m = np.zeros(size, np.int32)
-            nz = c2p > 0
-            m[c2p[nz]] = np.flatnonzero(nz).astype(np.int32) + 1
-            maps.append(m)
-            offs.append(at)
-            at += size
-        return np.concatenate(maps) if maps else np.zeros(1, np.int32), offs
+        """Inverse (position -> column) maps for every member, flattened.
+
+        One scatter builds all members' maps: member rows are disjoint
+        windows of the flat array, and positions within a member are unique.
+        """
+        c2p = prof.c2p
+        nm, nc = c2p.shape
+        if nm == 0:
+            return np.zeros(1, np.int32), []
+        sizes = c2p.max(axis=1, initial=0).astype(np.int64) + 1
+        offs64 = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        flat = np.zeros(int(sizes.sum()), np.int32)
+        nz = c2p > 0
+        idx = (offs64[:, None] + c2p)[nz]
+        cols = np.broadcast_to(np.arange(1, nc + 1, dtype=np.int32), c2p.shape)
+        flat[idx] = cols[nz]
+        return flat, [int(o) for o in offs64]
 
     p2ca, aoffs = flat_maps(pa)
     p2cb, boffs = flat_maps(pb)
@@ -677,13 +701,19 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
             st = state[gi]
             pa, pb = st["profiles"][a], st["profiles"][b]
             if pa.ncols == 0:
-                merged = _Profile(pa.members + pb.members,
-                                  [np.zeros(pb.ncols, np.int32)] * len(pa.members)
-                                  + pb.col2pos)
+                merged = _Profile(
+                    pa.members + pb.members,
+                    np.concatenate(
+                        [np.zeros((len(pa.members), pb.ncols), np.int32), pb.c2p]
+                    ),
+                )
             else:
-                merged = _Profile(pa.members + pb.members,
-                                  pa.col2pos
-                                  + [np.zeros(pa.ncols, np.int32)] * len(pb.members))
+                merged = _Profile(
+                    pa.members + pb.members,
+                    np.concatenate(
+                        [pa.c2p, np.zeros((len(pb.members), pa.ncols), np.int32)]
+                    ),
+                )
             st["profiles"][st["node_of_merge"][k]] = merged
             del st["profiles"][a], st["profiles"][b]
             st["todo"].remove(k)
@@ -704,16 +734,15 @@ def _reconstruct(state, active, by_group, codes, decode, results):
             else 0
         )
         final = st["profiles"][final_id]
-        out = [""] * g
-        order = {m: r for r, m in enumerate(final.members)}
-        for m in range(g):
-            c2p = final.col2pos[order[m]]
-            seq = codes[idx[m]]
-            row = np.full(c2p.size, 5, dtype=np.int8)
-            nz = c2p > 0
-            row[nz] = seq[c2p[nz] - 1]
-            out[m] = decode[row].tobytes().decode()
-        results[gi] = out
+        inv = np.empty(g, np.int64)
+        inv[np.asarray(final.members)] = np.arange(g)
+        c2p = final.c2p[inv]  # [g, ncols] in member order
+        seqs = codes[idx]  # [g, L]
+        rows = np.full(c2p.shape, 5, dtype=np.int8)
+        nz = c2p > 0
+        rows[nz] = seqs[np.nonzero(nz)[0], (c2p - 1)[nz]]
+        chars = decode[rows]
+        results[gi] = [chars[m].tobytes().decode() for m in range(g)]
     return results
 
 
