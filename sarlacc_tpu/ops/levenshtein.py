@@ -93,32 +93,36 @@ def _tile_d2(codes, lengths, i0, j0, TI: int, TJ: int, L: int):
     b = jax.lax.dynamic_slice(codes, (j0, z), (TJ, L))  # [TJ, L]
     lb = jax.lax.dynamic_slice(lengths, (j0,), (TJ,)).astype(jnp.int32)
 
-    idx = jnp.arange(L + 1, dtype=jnp.int32)
-    prev0 = jnp.broadcast_to(2 * idx, (TI, TJ, L + 1))
+    # Layout: the DP position axis (L+1, tiny — e.g. 11 for UMIs) sits on
+    # sublanes and the TJ pair axis on lanes, so every vreg is full.  The
+    # transposed layout ([TI, TJ, L+1], L+1 minor) wasted 7/8ths of each
+    # lane group for short sequences.
+    idx = jnp.arange(L + 1, dtype=jnp.int32)[None, :, None]  # [1, L+1, 1]
+    prev0 = jnp.broadcast_to(2 * idx, (TI, L + 1, TJ))
     ans0 = jnp.broadcast_to(2 * la[:, None], (TI, TJ))  # lb == 0 answer
-    a_is_n = (a == 4)[:, None, :]  # [TI, 1, L]
-    a_b = a[:, None, :]  # [TI, 1, L]
-    la_idx = jnp.broadcast_to(la[:, None, None], (TI, TJ, 1))
+    a_is_n = (a == 4)[:, :, None]  # [TI, L, 1]
+    a_b = a[:, :, None]  # [TI, L, 1]
+    la_idx = jnp.broadcast_to(la[:, None, None], (TI, 1, TJ))
 
     def step(carry, jx):
         prev, ans = carry
         bj = jax.lax.dynamic_index_in_dim(b, jx, 1, keepdims=True)  # [TJ, 1]
-        bj = bj[None, :, :]  # [1, TJ, 1]
+        bj = bj.T[None, :, :]  # [1, 1, TJ]
         ms = jnp.where(
             jnp.logical_or(bj == 4, a_is_n),
             1,
             jnp.where(a_b == bj, 0, 2),
-        ).astype(jnp.int32)  # [TI, TJ, L]
+        ).astype(jnp.int32)  # [TI, L, TJ]
         cand = jnp.concatenate(
             [
-                jnp.full((TI, TJ, 1), 2 * (jx + 1), jnp.int32),
-                jnp.minimum(prev[..., 1:] + 2, prev[..., :-1] + ms),
+                jnp.full((TI, 1, TJ), 2 * (jx + 1), jnp.int32),
+                jnp.minimum(prev[:, 1:] + 2, prev[:, :-1] + ms),
             ],
-            axis=-1,
+            axis=1,
         )
         t = cand - 2 * idx
-        col = jax.lax.cummin(t, axis=2) + 2 * idx
-        got = jnp.take_along_axis(col, la_idx, axis=2)[..., 0]
+        col = jax.lax.cummin(t, axis=1) + 2 * idx
+        got = jnp.take_along_axis(col, la_idx, axis=1)[:, 0]
         ans = jnp.where(jx + 1 == lb[None, :], got, ans)
         return (col, ans), None
 
@@ -299,7 +303,7 @@ def _lev2_rowblock_sparse(
 
 def lev2_neighbor_pairs(
     codes: np.ndarray, lengths: np.ndarray, limit: int,
-    tile: int = 256, kcap: int = 64,
+    tile: int = 512, kcap: int = 64,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sparse thresholded neighbours: all (i, j), i <= j, with doubled
     distance <= 2*limit — including the diagonal, which is NOT free when a
@@ -316,9 +320,26 @@ def lev2_neighbor_pairs(
 
     Returns (qi, qj) int32 arrays in original index space.
     """
-    n = codes.shape[0]
-    if n == 0:
+    n_reads = codes.shape[0]
+    if n_reads == 0:
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    # Exact dedup: distance depends only on string contents, so identical
+    # rows share one DP (UMI data is duplicate-heavy by construction — the
+    # reference trie exploits this with its identical-consecutive-query
+    # short-circuit, sorted_trie.cpp:253-257).  Neighbour pairs expand back
+    # to read space afterwards; d2(u, u) is still computed (N-vs-N costs 1,
+    # so the diagonal is not free).
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    uniq, uid = np.unique(codes, axis=0, return_inverse=True)
+    uid = uid.ravel().astype(np.int64)
+    n = uniq.shape[0]
+    ucnt = np.bincount(uid, minlength=n).astype(np.int64)
+    mem_order = np.argsort(uid, kind="stable").astype(np.int64)  # reads by uid
+    mem_start = np.concatenate([[0], np.cumsum(ucnt)[:-1]])
+    ulen = np.zeros(n, np.int32)
+    ulen[uid] = np.asarray(lengths, np.int32)
+    codes, lengths = uniq, ulen
+
     thr = 2 * int(limit)
     lengths = np.asarray(lengths, np.int32)
     perm = np.argsort(lengths, kind="stable").astype(np.int64)
@@ -348,7 +369,7 @@ def lev2_neighbor_pairs(
     # lengths caused a fresh multi-minute remote compile per distinct
     # bucket, which dominated wall time at 100k UMIs), and chunk launches
     # dispatch asynchronously in a bounded window.
-    NJT_CHUNK = 8
+    NJT_CHUNK = 32
     chunks: list[tuple[int, int, int]] = []
     for i0 in range(0, n_pad, TI):
         if i0 >= n:
@@ -397,11 +418,26 @@ def lev2_neighbor_pairs(
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
     si = np.concatenate(out_i)
     sj = np.concatenate(out_j)
-    # The upper triangle was in length-sorted space; normalize back to
-    # original-index orientation (i <= j).
-    oi = perm[si].astype(np.int32)
-    oj = perm[sj].astype(np.int32)
-    return np.minimum(oi, oj), np.maximum(oi, oj)
+    # Sorted-unique space -> unique ids -> read space.  Each unique pair
+    # (a, b) expands to the cross product of its member read sets; for
+    # a == b keep one orientation per unordered read pair.
+    ua = perm[si]
+    ub = perm[sj]
+    ca = ucnt[ua]
+    cb = ucnt[ub]
+    sz = ca * cb
+    starts = np.concatenate([[0], np.cumsum(sz)[:-1]])
+    total = int(sz.sum())
+    pid = np.repeat(np.arange(ua.size), sz)
+    o = np.arange(total, dtype=np.int64) - starts[pid]
+    x = mem_order[mem_start[ua][pid] + o // cb[pid]]
+    y = mem_order[mem_start[ub][pid] + o % cb[pid]]
+    keep = (ua[pid] != ub[pid]) | (x <= y)
+    x, y = x[keep], y[keep]
+    return (
+        np.minimum(x, y).astype(np.int32),
+        np.maximum(x, y).astype(np.int32),
+    )
 
 
 def lev2_matrix(codes: np.ndarray, lengths: np.ndarray, max_pairs: int = 1 << 22) -> np.ndarray:
