@@ -111,7 +111,9 @@ def _neighbor_csr(
     inv = inv.reshape(-1)
     u_lens = lengths[first_idx].astype(np.int32)
     m = u_codes.shape[0]
-    qi, qj = lev2_neighbor_pairs(u_codes.astype(np.int32), u_lens, limit)
+    qi, qj = lev2_neighbor_pairs(
+        u_codes.astype(np.int32), u_lens, limit, assume_unique=True
+    )
 
     off_diag = qi != qj
     ua = np.concatenate([qi, qj[off_diag]]).astype(np.int64)

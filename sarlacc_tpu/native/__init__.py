@@ -16,7 +16,11 @@ import threading
 
 import numpy as np
 
-__all__ = ["get_lib", "native_available", "greedy_cluster_native", "greedy_cluster_csr", "triplet_extend_native", "accumulate_cost_native"]
+__all__ = [
+    "get_lib", "native_available", "greedy_cluster_native",
+    "greedy_cluster_csr", "triplet_extend_native", "accumulate_cost_native",
+    "candidate_pairs_native",
+]
 
 _SRC = os.path.join(os.path.dirname(__file__), "msa_host.cpp")
 _LOCK = threading.Lock()
@@ -81,6 +85,9 @@ def _declare(lib: ctypes.CDLL) -> None:
         i32p, i32p, f32p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, f32p,
     ]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.candidate_pairs.restype = ctypes.c_int64
+    lib.candidate_pairs.argtypes = [u64p, i32p, ctypes.c_int64, u64p, ctypes.c_int64]
 
 
 def _ptr(a: np.ndarray, ct):
@@ -185,6 +192,35 @@ def triplet_extend_native(g: int, lib_entries: dict):
                 out_w[s:e].copy(),
             )
         return out
+
+
+def candidate_pairs_native(
+    h: np.ndarray, owner: np.ndarray, cap_hint: int, pair_cap: int
+) -> np.ndarray | None:
+    """Unique unordered candidate pairs as packed (lo<<32)|hi uint64 keys.
+
+    Returns None if the library is unavailable (numpy fallback applies) or
+    the raw pair count blows past ``pair_cap`` (caller falls back to the
+    dense scan).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = np.ascontiguousarray(h, np.uint64)
+    owner = np.ascontiguousarray(owner, np.int32)
+    cap = int(max(cap_hint, 1024))
+    while True:
+        out = np.empty(cap, np.uint64)
+        m = lib.candidate_pairs(
+            _ptr(h, ctypes.c_uint64), _ptr(owner, ctypes.c_int32),
+            h.size, _ptr(out, ctypes.c_uint64), cap,
+        )
+        if m >= 0:
+            return out[:m].copy()
+        needed = int(-m)
+        if needed > pair_cap:
+            return None
+        cap = needed + 1024
 
 
 def accumulate_cost_native(ci, cj, w, lo, la, width, cost) -> bool:

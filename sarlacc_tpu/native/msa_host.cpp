@@ -222,4 +222,43 @@ void accumulate_cost(
     }
 }
 
+// ---------------------------------------------------------------------------
+// Symmetric-delete candidate pairing for the thresholded Levenshtein search
+// (the host half of the sorted_trie.cpp replacement; the device DP verifies
+// every candidate so only completeness matters here).
+//
+// Entries are (variant hash, owner string id).  Sorts by (hash, owner),
+// drops duplicate (hash, owner) rows, and for every run of equal hashes
+// emits each unordered owner pair once as (lo << 32) | hi, then globally
+// sorts + uniques the pair keys.  Returns the number of unique pairs, or
+// -needed if cap was too small (caller retries with a bigger buffer).
+// ---------------------------------------------------------------------------
+int64_t candidate_pairs(
+    const uint64_t* h, const int32_t* owner, int64_t n,
+    uint64_t* out, int64_t cap)
+{
+    std::vector<std::pair<uint64_t, int32_t>> e(n);
+    for (int64_t i = 0; i < n; ++i) e[i] = {h[i], owner[i]};
+    std::sort(e.begin(), e.end());
+    e.erase(std::unique(e.begin(), e.end()), e.end());
+
+    int64_t m = 0;
+    const int64_t ne = (int64_t)e.size();
+    for (int64_t s = 0; s < ne;) {
+        int64_t t = s + 1;
+        while (t < ne && e[t].first == e[s].first) ++t;
+        for (int64_t i = s; i < t; ++i) {
+            const uint64_t lo = (uint64_t)(uint32_t)e[i].second << 32;
+            for (int64_t j = i + 1; j < t; ++j) {
+                if (m < cap) out[m] = lo | (uint32_t)e[j].second;
+                ++m;
+            }
+        }
+        s = t;
+    }
+    if (m > cap) return -m;
+    std::sort(out, out + m);
+    return (int64_t)(std::unique(out, out + m) - out);
+}
+
 }  // extern "C"

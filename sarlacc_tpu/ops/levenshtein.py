@@ -20,6 +20,7 @@ so the pair axis and the position axis stay fully parallel.
 from __future__ import annotations
 
 import functools
+import itertools
 
 import jax
 import jax.numpy as jnp
@@ -28,9 +29,8 @@ import numpy as np
 __all__ = ["lev2_pairs", "lev2_condensed", "lev2_matrix", "lev2_neighbor_pairs"]
 
 
-@jax.jit
-def lev2_pairs(codes_a, lens_a, codes_b, lens_b):
-    """Doubled masked Levenshtein for P pairs of padded code rows.
+def _pairs_scan(codes_a, lens_a, codes_b, lens_b):
+    """Doubled masked Levenshtein for P pairs of padded code rows (traceable).
 
     codes_* : [P, L] int32 (A=0..N=4, pad=5); lens_* : [P] int32.
     Returns [P] int32 doubled distances.
@@ -68,6 +68,9 @@ def lev2_pairs(codes_a, lens_a, codes_b, lens_b):
         step, (prev0, ans0), jnp.arange(L, dtype=jnp.int32)
     )
     return ans
+
+
+lev2_pairs = jax.jit(_pairs_scan)
 
 
 def _bucket(n: int) -> int:
@@ -301,46 +304,254 @@ def _lev2_rowblock_sparse(
     return buf, cnt
 
 
-def lev2_neighbor_pairs(
-    codes: np.ndarray, lengths: np.ndarray, limit: int,
-    tile: int = 512, kcap: int = 64,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Sparse thresholded neighbours: all (i, j), i <= j, with doubled
-    distance <= 2*limit — including the diagonal, which is NOT free when a
-    sequence contains N (sorted_trie.cpp:13-21).
-
-    The O(n^2) distance matrix never exists anywhere: tiles stream through
-    the device row-block kernel, which emits only the surviving column
-    indices.  Two exact prunes:
-
-    * rows are processed in length-sorted order so column tiles entirely
-      outside ``|la - lb| <= limit`` (doubled indel cost 2 makes the bound
-      exact) are never dispatched;
-    * only the upper triangle is computed (results mirror on the host).
-
-    Returns (qi, qj) int32 arrays in original index space.
+@functools.partial(jax.jit, static_argnames=("P", "L"))
+def _lev2_pairs_indexed(codes, lengths, ia, ib, thr, P: int, L: int):
+    """d2 <= thr verdicts for P candidate pairs, gathered ON DEVICE from the
+    resident [n, L] code table and returned as little-endian packed bits
+    ([P/8] uint8) — candidate verification at 1M-UMI scale is readback-bound
+    through the host tunnel, and one bit per pair is 32x cheaper than int32.
     """
-    n_reads = codes.shape[0]
-    if n_reads == 0:
-        return np.zeros(0, np.int32), np.zeros(0, np.int32)
-    # Exact dedup: distance depends only on string contents, so identical
-    # rows share one DP (UMI data is duplicate-heavy by construction — the
-    # reference trie exploits this with its identical-consecutive-query
-    # short-circuit, sorted_trie.cpp:253-257).  Neighbour pairs expand back
-    # to read space afterwards; d2(u, u) is still computed (N-vs-N costs 1,
-    # so the diagonal is not free).
-    codes = np.ascontiguousarray(codes, dtype=np.int8)
-    uniq, uid = np.unique(codes, axis=0, return_inverse=True)
-    uid = uid.ravel().astype(np.int64)
-    n = uniq.shape[0]
-    ucnt = np.bincount(uid, minlength=n).astype(np.int64)
-    mem_order = np.argsort(uid, kind="stable").astype(np.int64)  # reads by uid
-    mem_start = np.concatenate([[0], np.cumsum(ucnt)[:-1]])
-    ulen = np.zeros(n, np.int32)
-    ulen[uid] = np.asarray(lengths, np.int32)
-    codes, lengths = uniq, ulen
+    ca = jnp.take(codes, ia, axis=0)
+    la = jnp.take(lengths, ia)
+    cb = jnp.take(codes, ib, axis=0)
+    lb = jnp.take(lengths, ib)
+    d2 = _pairs_scan(ca, la, cb, lb)
+    ok = (d2 <= thr).reshape(P // 8, 8).astype(jnp.uint8)
+    weights = (2 ** jnp.arange(8, dtype=jnp.uint8))[None, :]
+    return (ok * weights).sum(axis=1).astype(jnp.uint8)
 
-    thr = 2 * int(limit)
+
+def _verify_pairs_device(
+    codes: np.ndarray, lengths: np.ndarray, ua: np.ndarray, ub: np.ndarray,
+    thr: int, chunk: int = 1 << 19,
+) -> np.ndarray:
+    """Boolean verdicts (d2 <= thr) for candidate pairs (ua, ub).
+
+    The code table ships once; per chunk only two int32 index vectors go up
+    and a packed bitmask comes back.  Chunks dispatch ahead of readbacks.
+    """
+    P = ua.size
+    if P == 0:
+        return np.zeros(0, bool)
+    Lb = 8
+    while Lb < codes.shape[1]:
+        Lb *= 2
+    n = codes.shape[0]
+    cp = np.full((n + 1, Lb), 5, np.int32)  # +1: a safe pad row for bucket slack
+    cp[:n, : codes.shape[1]] = codes
+    lp = np.zeros(n + 1, np.int32)
+    lp[:n] = lengths
+    codes_dev = jnp.asarray(cp)
+    lens_dev = jnp.asarray(lp)
+    thr_dev = jnp.asarray(int(thr), jnp.int32)
+
+    out = np.zeros(P, bool)
+    inflight: list = []
+
+    def _collect(sl, dev):
+        bits = np.unpackbits(np.asarray(dev), bitorder="little")
+        out[sl] = bits[: sl.stop - sl.start].astype(bool)
+
+    for at in range(0, P, chunk):
+        sl = slice(at, min(at + chunk, P))
+        p = sl.stop - sl.start
+        B = _bucket(max(p, 8))
+        ia = np.full(B, n, np.int32)
+        ib = np.full(B, n, np.int32)
+        ia[:p] = ua[sl]
+        ib[:p] = ub[sl]
+        dev = _lev2_pairs_indexed(
+            codes_dev, lens_dev, jnp.asarray(ia), jnp.asarray(ib), thr_dev,
+            P=B, L=Lb,
+        )
+        inflight.append((sl, dev))
+        if len(inflight) >= 8:
+            _collect(*inflight.pop(0))
+    for item in inflight:
+        _collect(*item)
+    return out
+
+
+#: Max packed variant length for the symmetric-delete filter: base-5 digits
+#: plus a leading sentinel must fit uint64 (5^25 * 2 < 2^64).
+_FILTER_MAX_LEN = 24
+#: Max deletion variants per string before the filter costs more than it saves.
+_FILTER_MAX_VARIANTS = 512
+
+
+def _delete_variant_entries(
+    codes: np.ndarray, lengths: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hash, owner) entries for every <=k-deletion variant of every string.
+
+    Variants pack base-5 with a leading sentinel digit (so different lengths
+    never collide).  Strings are processed per length class; combination
+    enumeration is host Python but each combination's packing is one
+    vectorized multiply-add over all strings of that length.
+    """
+    pow5 = np.power(np.uint64(5), np.arange(_FILTER_MAX_LEN + 1, dtype=np.uint64))
+    hashes: list[np.ndarray] = []
+    owners: list[np.ndarray] = []
+    for L in np.unique(lengths):
+        Li = int(L)
+        rows = np.flatnonzero(lengths == L)
+        sub = codes[rows, :Li].astype(np.uint64)
+        for d in range(min(int(k), Li) + 1):
+            m = Li - d
+            sentinel = pow5[m]
+            w = pow5[:m]
+            for del_pos in itertools.combinations(range(Li), d):
+                keep = np.setdiff1d(
+                    np.arange(Li), np.asarray(del_pos, np.int64),
+                    assume_unique=True,
+                )
+                h = sub[:, keep] @ w + sentinel if m else np.full(
+                    rows.size, sentinel, np.uint64
+                )
+                hashes.append(h)
+                owners.append(rows)
+    if not hashes:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    return np.concatenate(hashes), np.concatenate(owners).astype(np.int64)
+
+
+def _candidate_pairs_from_entries(
+    h: np.ndarray, owner: np.ndarray, pair_cap: int
+) -> np.ndarray | None:
+    """Unordered candidate pairs [m, 2] (lo, hi) from shared-variant runs;
+    None if the run structure blows past ``pair_cap`` (low-complexity
+    pathologies).  The C++ path (native.candidate_pairs_native) does the
+    sort/run-walk/dedup in one pass; this numpy body is the fallback and
+    parity oracle."""
+    from ..native import candidate_pairs_native, native_available
+
+    if native_available():
+        keys = candidate_pairs_native(
+            h, owner, cap_hint=min(max(8 * h.size, 1 << 20), pair_cap),
+            pair_cap=pair_cap,
+        )
+        if keys is None:  # raw pair count blew past pair_cap
+            return None
+        out = np.empty((keys.size, 2), np.int64)
+        out[:, 0] = (keys >> np.uint64(32)).astype(np.int64)
+        out[:, 1] = (keys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return out
+
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    ids = owner[order]
+    new = np.empty(hs.size, bool)
+    new[:1] = True
+    np.not_equal(hs[1:], hs[:-1], out=new[1:])
+    run_start = np.flatnonzero(new)
+    run_len = np.diff(np.append(run_start, hs.size))
+    run_id = np.cumsum(new) - 1
+    pos = np.arange(hs.size) - run_start[run_id]
+    cnt = (run_len[run_id] - pos - 1).astype(np.int64)
+    tot = int(cnt.sum())
+    if tot > pair_cap:
+        return None
+    first = np.repeat(np.arange(hs.size), cnt)
+    offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
+    second = first + 1 + (np.arange(tot, dtype=np.int64) - offs)
+    pa = ids[first]
+    pb = ids[second]
+    keep = pa != pb  # same string can emit one variant twice
+    pa, pb = pa[keep], pb[keep]
+    lo = np.minimum(pa, pb)
+    hi = np.maximum(pa, pb)
+    # Dedup on (lo, hi): close pairs share many variants.
+    key = (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64)
+    uk = np.unique(key)
+    out = np.empty((uk.size, 2), np.int64)
+    out[:, 0] = (uk >> np.uint64(32)).astype(np.int64)
+    out[:, 1] = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    return out
+
+
+def _neighbor_pairs_filtered(
+    codes: np.ndarray, lengths: np.ndarray, limit: int, thr: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Exact neighbour pairs in unique-string space via symmetric-delete
+    candidate generation + device DP verification; None when the filter
+    heuristics do not hold and the caller must use the row-block scan.
+
+    Exactness: for N-free pairs every edit costs exactly 2 doubled units, so
+    ``d2 <= 2*limit  <=>  lev <= limit``; if ``lev(a, b) = e`` then an
+    optimal alignment's matched-equal columns form a common subsequence
+    reachable with ``del+sub <= e`` deletions from ``a`` and
+    ``ins+sub <= e`` from ``b`` — so any pair within ``limit`` shares a
+    ``<=limit``-deletion variant (the reference trie's pruned walk,
+    sorted_trie.cpp:107-187, is replaced by hashing; results are identical
+    because every candidate is verified by the exact DP).  Strings containing
+    N (where N-vs-anything costs 1, sorted_trie.cpp:13-21) skip the filter
+    and are verified against *all* strings.
+    """
+    n = codes.shape[0]
+    Lmax = int(lengths.max(initial=0))
+    if Lmax > _FILTER_MAX_LEN:
+        return None
+    k = int(limit)
+    nvar = sum(
+        int(np.prod(np.arange(Lmax - d + 1, Lmax + 1)) // np.prod(np.arange(1, d + 1)))
+        if d else 1
+        for d in range(min(k, Lmax) + 1)
+    )
+    if nvar > _FILTER_MAX_VARIANTS:
+        return None
+
+    pos = np.arange(codes.shape[1])[None, :]
+    has_n = ((codes == 4) & (pos < lengths[:, None])).any(axis=1)
+    n_rows = np.flatnonzero(has_n)
+    a_rows = np.flatnonzero(~has_n)
+    # N-containing strings pair against everything: bail out if that cross
+    # product alone rivals the dense scan.
+    if n_rows.size * n > max(1 << 26, n):
+        return None
+
+    h, owner = _delete_variant_entries(
+        codes[a_rows], lengths[a_rows], k
+    )
+    owner = a_rows[owner]
+    # Absolute budget on raw (pre-dedup) candidate slots: two int64 columns
+    # must fit comfortably in host RAM; pathological low-complexity inputs
+    # that blow past it fall back to the row-block scan.
+    pair_cap = min(max(1 << 24, n * 2048), 1 << 28)
+    cand = _candidate_pairs_from_entries(h, owner, pair_cap)
+    if cand is None:
+        return None
+
+    parts_a = [cand[:, 0]]
+    parts_b = [cand[:, 1]]
+    if n_rows.size:
+        # N rows vs every row (self included — the diagonal is not free for
+        # them), upper-triangle normalized, deduped against double-counting
+        # N-vs-N pairs.
+        ra = np.repeat(n_rows, n)
+        rb = np.tile(np.arange(n, dtype=np.int64), n_rows.size)
+        lo = np.minimum(ra, rb)
+        hi = np.maximum(ra, rb)
+        key = (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64)
+        uk = np.unique(key)
+        parts_a.append((uk >> np.uint64(32)).astype(np.int64))
+        parts_b.append((uk & np.uint64(0xFFFFFFFF)).astype(np.int64))
+    ua = np.concatenate(parts_a)
+    ub = np.concatenate(parts_b)
+    ok = _verify_pairs_device(codes, lengths, ua, ub, thr)
+    ua, ub = ua[ok], ub[ok]
+    # Diagonal for N-free strings is always distance 0.
+    ua = np.concatenate([ua, a_rows])
+    ub = np.concatenate([ub, a_rows])
+    return ua.astype(np.int64), ub.astype(np.int64)
+
+
+def _neighbor_pairs_rowblock(
+    codes: np.ndarray, lengths: np.ndarray, thr: int, limit: int,
+    tile: int, kcap: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dense row-block scan fallback (unique-string space): tiles stream
+    through the device kernel which emits only surviving column indices."""
+    n = codes.shape[0]
     lengths = np.asarray(lengths, np.int32)
     perm = np.argsort(lengths, kind="stable").astype(np.int64)
     s_len = lengths[perm]
@@ -415,14 +626,72 @@ def lev2_neighbor_pairs(
             _collect(item, retry)
         todo = retry
     if not out_i:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    si = np.concatenate(out_i).astype(np.int64)
+    sj = np.concatenate(out_j).astype(np.int64)
+    return perm[si], perm[sj]
+
+
+def lev2_neighbor_pairs(
+    codes: np.ndarray, lengths: np.ndarray, limit: int,
+    tile: int = 512, kcap: int = 64, assume_unique: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sparse thresholded neighbours: all (i, j), i <= j, with doubled
+    distance <= 2*limit — including the diagonal, which is NOT free when a
+    sequence contains N (sorted_trie.cpp:13-21).
+
+    The O(n^2) distance matrix never exists anywhere.  Identical rows share
+    one DP (``assume_unique=True`` skips that dedup when the caller already
+    collapsed duplicates).  Unique strings then go through one of two exact
+    engines:
+
+    * **symmetric-delete filter** (short strings, small limits — the UMI
+      regime): <=limit-deletion variant hashing proposes candidate pairs, a
+      batched device DP verifies them, N-containing strings verify against
+      everything (:func:`_neighbor_pairs_filtered`);
+    * **row-block scan** (everything else): tiles stream through the device
+      kernel which emits surviving column indices, with an exact
+      length-sort prune (:func:`_neighbor_pairs_rowblock`).
+
+    Returns (qi, qj) int32 arrays in original index space.
+    """
+    n_reads = codes.shape[0]
+    if n_reads == 0:
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
-    si = np.concatenate(out_i)
-    sj = np.concatenate(out_j)
-    # Sorted-unique space -> unique ids -> read space.  Each unique pair
-    # (a, b) expands to the cross product of its member read sets; for
-    # a == b keep one orientation per unordered read pair.
-    ua = perm[si]
-    ub = perm[sj]
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    lengths = np.asarray(lengths, np.int32)
+    if assume_unique:
+        n = n_reads
+        ucnt = np.ones(n, np.int64)
+        mem_order = np.arange(n, dtype=np.int64)
+        mem_start = np.arange(n, dtype=np.int64)
+    else:
+        # Exact dedup: distance depends only on string contents (the
+        # reference trie's identical-consecutive-query short-circuit,
+        # sorted_trie.cpp:253-257, batched).
+        uniq, uid = np.unique(codes, axis=0, return_inverse=True)
+        uid = uid.ravel().astype(np.int64)
+        n = uniq.shape[0]
+        ucnt = np.bincount(uid, minlength=n).astype(np.int64)
+        mem_order = np.argsort(uid, kind="stable").astype(np.int64)
+        mem_start = np.concatenate([[0], np.cumsum(ucnt)[:-1]])
+        ulen = np.zeros(n, np.int32)
+        ulen[uid] = lengths
+        codes, lengths = uniq, ulen
+
+    thr = 2 * int(limit)
+    pairs = _neighbor_pairs_filtered(codes, lengths, int(limit), thr)
+    if pairs is None:
+        pairs = _neighbor_pairs_rowblock(
+            codes, lengths, thr, int(limit), tile, kcap
+        )
+    ua, ub = pairs
+    if ua.size == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+
+    # Unique ids -> read space.  Each unique pair (a, b) expands to the
+    # cross product of its member read sets; for a == b keep one
+    # orientation per unordered read pair.
     ca = ucnt[ua]
     cb = ucnt[ub]
     sz = ca * cb

@@ -145,6 +145,61 @@ def test_umi_group_sparse_path_parity(rng, monkeypatch):
         assert np.array_equal(a, b)
 
 
+@pytest.mark.parametrize("limit", [0, 1, 2])
+def test_filter_engine_matches_rowblock(rng, limit):
+    """The symmetric-delete filter engine and the row-block scan produce the
+    same unique-space neighbour pairs — mixed lengths, Ns, duplicates."""
+    from sarlacc_tpu.ops.levenshtein import (
+        _neighbor_pairs_filtered,
+        _neighbor_pairs_rowblock,
+        lev2_neighbor_pairs,
+    )
+
+    seqs = rand_seqs(rng, 300, 6, 12, p_n=0.03) + ["ACGTACGT"] * 4 + [""]
+    codes, lengths = encode_batch(seqs)
+    codes = np.ascontiguousarray(codes, np.int8)
+    uniq, uid = np.unique(codes, axis=0, return_inverse=True)
+    ulen = np.zeros(uniq.shape[0], np.int32)
+    ulen[uid.ravel()] = lengths.astype(np.int32)
+    thr = 2 * limit
+    fa, fb = _neighbor_pairs_filtered(uniq, ulen, limit, thr)
+    ra, rb = _neighbor_pairs_rowblock(uniq, ulen, thr, limit, 64, 16)
+    f = {(min(a, b), max(a, b)) for a, b in zip(fa.tolist(), fb.tolist())}
+    r = {(min(a, b), max(a, b)) for a, b in zip(ra.tolist(), rb.tolist())}
+    assert f == r
+
+    # And end-to-end through the public entry point (read space).
+    qi, qj = lev2_neighbor_pairs(codes.astype(np.int32), lengths, limit)
+    mat = lev2_matrix(codes.astype(np.int32), lengths)
+    want = {
+        (i, j)
+        for i in range(len(seqs))
+        for j in range(i, len(seqs))
+        if mat[i, j] <= thr
+    }
+    assert set(zip(qi.tolist(), qj.tolist())) == want
+
+
+def test_candidate_pairs_native_matches_numpy(rng):
+    """C++ candidate_pairs == the numpy fallback (sorted pair sets)."""
+    import sarlacc_tpu.native as nat
+    from sarlacc_tpu.ops.levenshtein import _candidate_pairs_from_entries
+
+    if not nat.native_available():
+        pytest.skip("native library unavailable")
+    h = rng.integers(0, 50, 5000).astype(np.uint64)
+    owner = rng.integers(0, 40, 5000).astype(np.int64)
+    native = _candidate_pairs_from_entries(h, owner, 1 << 24)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(nat, "get_lib", lambda: None):
+        fallback = _candidate_pairs_from_entries(h, owner, 1 << 24)
+    na = sorted(map(tuple, native.tolist()))
+    fb = sorted(map(tuple, fallback.tolist()))
+    assert na == fb
+
+
 def test_tile_kernel_wide_matches_int16():
     """The wide (int32) tile readback is value-identical to the int16 path
     for short sequences; long sequences (>16383) must select it to avoid
