@@ -39,16 +39,17 @@ NOMINAL_BASELINE_READS_PER_S = 100.0
 
 # Speed-of-light for the score-only Pallas kernel: VPU issue rate =
 # cores x 4 ALUs x (8 sublanes x 128 lanes) x clock, divided by the
-# kernel's static instruction count per DP cell (~60: IUPAC 5-way select
-# ~16, affine recurrence ~10, log-shift prefix-max over 256 sublanes ~28,
-# boundary selects ~6 — ops/pallas_align.py:_kernel).  That is the ceiling
-# for THIS instruction stream; roofline_frac is measured GCUPS against it.
+# kernel's static instruction count per DP cell (~44 after the r3 rework:
+# bitmask IUPAC probe 4, affine recurrence 9, log-shift prefix-max over 256
+# sublanes 24 (8 stages x roll+select+max, fill masks hoisted), boundary 3,
+# ramps 2, stores 2 — ops/pallas_align.py:_kernel).  That is the ceiling for
+# THIS instruction stream; roofline_frac is measured device GCUPS against it.
 _VPU_OPS_PER_S = {
     # chip kind -> (TensorCores, clock Hz)
     "v5e": 1 * 4 * (8 * 128) * 1.74e9,  # TPU v5 lite: 1 core @ ~1.74 GHz
     "v5p": 2 * 4 * (8 * 128) * 1.75e9,
 }
-KERNEL_OPS_PER_CELL = 60.0
+KERNEL_OPS_PER_CELL = 44.0
 
 
 def _roofline_gcups() -> float:
@@ -137,10 +138,21 @@ def _random_reads(n, length, seed):
 
 
 def bench_demux(n_reads=100_000, tolerance=250, n_barcodes=12, bc_len=12, seed=3):
-    """Score-only adaptor scan (strand resolution) + 12-barcode demux."""
+    """Score-only adaptor scan (strand resolution) + 12-barcode demux.
+
+    Reports wall GCUPS over the whole demux pass AND pure device-kernel
+    GCUPS (5-rep block_until_ready loop on prebuilt cost planes) — the
+    roofline metric; the difference is dispatch + readback overhead through
+    the remote tunnel (VERDICT r2 #1).
+    """
+    import jax
+    import jax.numpy as jnp
     import sarlacc_tpu as st
-    from sarlacc_tpu.api.align_internal import align_scores_only, prepare_adaptor, resolve_strand
-    from sarlacc_tpu.utils.profiling import get_profiler
+    from sarlacc_tpu.api.align_internal import (
+        align_scores_only, prepare_adaptor, prepare_scores_input,
+        resolve_strand,
+    )
+    from sarlacc_tpu.ops.pallas_align import fit_scores_from_planes
 
     a1 = prepare_adaptor("ACGCTAGCATCAGTCNNNNCACAGCTACGANNNNNNNNCGTACGCAT")
     a2 = prepare_adaptor("TGCATCGATCGCAT")
@@ -152,51 +164,63 @@ def bench_demux(n_reads=100_000, tolerance=250, n_barcodes=12, bc_len=12, seed=3
     ]
     observed = _random_reads(n_reads, bc_len, seed + 3)
 
-    from sarlacc_tpu.api.align_internal import prepare_scores_input
-
-    # One upload per batch, reused by both adaptors (the production pattern:
-    # calibration re-scores the same reads many times).
+    # One upload + one cost-plane build per batch, reused by both adaptors
+    # and every tuning/threshold launch (the production pattern).
     pfront = prepare_scores_input(a1, front)
     pback = prepare_scores_input(a1, back)
 
     def one_pass():
-        s_start = align_scores_only(a1, None, 5.0, 1.0, prepared=pfront)
-        s_end = align_scores_only(a2, None, 5.0, 1.0, prepared=pback)
-        s_rstart = align_scores_only(a1, None, 5.0, 1.0, prepared=pback)
-        s_rend = align_scores_only(a2, None, 5.0, 1.0, prepared=pfront)
-        resolve_strand(s_start, s_end, s_rstart, s_rend)
+        dev = [
+            align_scores_only(a1, None, 5.0, 1.0, prepared=pfront, as_device=True),
+            align_scores_only(a2, None, 5.0, 1.0, prepared=pback, as_device=True),
+            align_scores_only(a1, None, 5.0, 1.0, prepared=pback, as_device=True),
+            align_scores_only(a2, None, 5.0, 1.0, prepared=pfront, as_device=True),
+        ]
+        s = np.asarray(jnp.stack(dev), dtype=np.float64)  # ONE readback
+        resolve_strand(s[0], s[1], s[2], s[3])
         st.barcode_align(observed, barcodes)
 
     one_pass()  # warmup/compile
-    prof = get_profiler()
-    before = {
-        k: (s.seconds, s.cells) for k, s in prof.stages.items()
-    }
     t0 = time.time()
     one_pass()
     elapsed = time.time() - t0
 
+    # Pure kernel device time: the roofline numerator.
+    l1, n_pad = pfront.plane_geometry()
+    planes = pfront.planes()
+    kargs = (planes, pfront.lengths, a1.modes, a1.matched, 5.0, 1.0)
+    out = fit_scores_from_planes(*kargs, l1=l1, n_pad=n_pad)
+    jax.block_until_ready(out)
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        out = fit_scores_from_planes(*kargs, l1=l1, n_pad=n_pad)
+    jax.block_until_ready(out)
+    kdt = (time.time() - t0) / reps
+    kcells = n_pad * l1 * len(a1)
+
+    cells = n_reads * tolerance * 2 * (len(a1) + len(a2))
     roofline = _roofline_gcups()
-    cells = secs = 0.0
-    for k, s in prof.stages.items():
-        b = before.get(k, (0.0, 0))
-        if k.startswith("align."):
-            cells += s.cells - b[1]
-            secs += s.seconds - b[0]
-    gcups = cells / secs / 1e9 if secs else 0.0
+    kernel_gcups = kcells / kdt / 1e9
     return {
         "reads_per_s": round(n_reads / elapsed, 1),
         "n_reads": n_reads,
         "seconds": round(elapsed, 3),
         "dp_cells": int(cells),
-        "gcups": round(gcups, 2),
+        "gcups_wall": round(cells / elapsed / 1e9, 2),
+        "kernel_ms": round(kdt * 1e3, 2),
+        "kernel_gcups": round(kernel_gcups, 2),
         "roofline_gcups": round(roofline, 1),
-        "roofline_frac": round(gcups / roofline, 4),
+        "roofline_frac": round(kernel_gcups / roofline, 4),
     }
 
 
-def bench_umi(n_umis=100_000, umi_len=10, n_clusters=20_000, threshold=2, seed=5):
-    """Single-pre-group thresholded UMI grouping at scale (sparse kernel)."""
+def bench_umi(n_umis=100_000, umi_len=10, n_clusters=20_000, threshold=2,
+              seed=5, warmup=True):
+    """Single-pre-group thresholded UMI grouping at scale: symmetric-delete
+    candidate filter + device DP verification (BASELINE.json configs list
+    1M-read UMI grouping; ``umi_1m`` uses 12 bp UMIs so the problem itself
+    stays sparse at that depth)."""
     import sarlacc_tpu as st
     from sarlacc_tpu.core.encode import SeqBatch
 
@@ -211,7 +235,8 @@ def bench_umi(n_umis=100_000, umi_len=10, n_clusters=20_000, threshold=2, seed=5
     codes[mut, pos[mut]] = sub[mut]
     batch = SeqBatch(codes, np.full(n_umis, umi_len, np.int64), None, None)
 
-    st.umi_group(batch.take(np.arange(n_umis // 4)), threshold1=threshold)  # warmup
+    if warmup:  # compile every verify-kernel bucket
+        st.umi_group(batch.take(np.arange(n_umis // 4)), threshold1=threshold)
     t0 = time.time()
     groups = st.umi_group(batch, threshold1=threshold)
     elapsed = time.time() - t0
@@ -238,6 +263,14 @@ def main():
         print(f"[bench] umi_100k: {configs['umi_100k']}", file=sys.stderr)
     except Exception as e:
         configs["umi_100k"] = {"error": str(e)[:200]}
+    try:
+        configs["umi_1m"] = bench_umi(
+            n_umis=1_000_000, umi_len=12, n_clusters=200_000, seed=9,
+            warmup=False,  # umi_100k already compiled the kernels
+        )
+        print(f"[bench] umi_1m: {configs['umi_1m']}", file=sys.stderr)
+    except Exception as e:
+        configs["umi_1m"] = {"error": str(e)[:200]}
 
     value = configs["pipeline"]["reads_per_s"]
     out = {

@@ -101,19 +101,63 @@ def _pad_batch(batch: SeqBatch, pad_n: int | None) -> tuple[SeqBatch, int]:
     return SeqBatch(codes, lengths, quals, None), n
 
 
+class PreparedReads:
+    """A device-resident read batch for repeated score-only launches.
+
+    The remote tunnel moves ~25 MB/s; the tuning grid re-scores the same
+    front/back batches 2 x 35 times (R/tuneAlignment.R:54-72), so the
+    [N, L] codes/qidx arrays cross the link once.  On TPU the kernel's
+    match/mismatch cost planes (which depend only on the reads and the
+    quality encoding, reference_align.cpp:21-52 — not on the adaptor) are
+    built once here and shared by every adaptor/barcode/penalty launch
+    against this batch (v5e: ~140 ms to build vs ~22 ms per kernel).
+
+    Unpacks as ``(codes, qidx, lengths), n`` for the scan fallback path.
+    """
+
+    def __init__(self, codes, qidx, lengths, n: int, tables):
+        self.codes = codes
+        self.qidx = qidx
+        self.lengths = lengths
+        self.n = n
+        self.tables = tables
+        self._planes = None
+
+    def __iter__(self):  # ((codes, qidx, lengths), n) compatibility
+        yield (self.codes, self.qidx, self.lengths)
+        yield self.n
+
+    def plane_geometry(self) -> tuple[int, int]:
+        from ..ops.pallas_align import plane_dims
+
+        return plane_dims(int(self.codes.shape[0]), int(self.codes.shape[1]))
+
+    def planes(self):
+        """Cached (costm, costmm, codes_k) device planes for the kernel."""
+        if self._planes is None:
+            import jax.numpy as jnp
+
+            from ..ops.pallas_align import build_cost_planes
+
+            l1, n_pad = self.plane_geometry()
+            self._planes = build_cost_planes(
+                self.codes,
+                self.qidx,
+                jnp.asarray(self.tables.match, jnp.float32),
+                jnp.asarray(self.tables.mismatch, jnp.float32),
+                l1=l1,
+                n_pad=n_pad,
+            )
+        return self._planes
+
+
 def prepare_scores_input(
     adaptor: PreparedAdaptor,
     batch: SeqBatch,
     pad_n: int | None = None,
     mesh=None,
-):
-    """Upload a batch once for repeated score-only launches.
-
-    The remote tunnel moves ~25 MB/s; the tuning grid re-scores the same
-    front/back batches 2 x 35 times (R/tuneAlignment.R:54-72), so the
-    [N, L] codes/qidx planes must cross the link once, not per launch.
-    Returns ((codes, qidx, lengths) device arrays, n).
-    """
+) -> PreparedReads:
+    """Upload a batch once for repeated score-only launches."""
     if mesh is not None:
         m = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         pad_n = ((max(pad_n or 0, len(batch)) + m - 1) // m) * m
@@ -122,8 +166,10 @@ def prepare_scores_input(
     import jax
 
     codes, qidx, lengths = _shard(mesh, codes, qidx, lengths)
-    codes = jax.device_put(codes)
-    return (codes, jax.device_put(qidx), jax.device_put(lengths)), n
+    return PreparedReads(
+        jax.device_put(codes), jax.device_put(qidx), jax.device_put(lengths),
+        n, adaptor.tables,
+    )
 
 
 def align_scores_only(
@@ -134,15 +180,20 @@ def align_scores_only(
     pad_n: int | None = None,
     mesh=None,
     prepared=None,
-) -> np.ndarray:
+    local: bool = True,
+    as_device: bool = False,
+):
     """Batch fitting-mode scores (src/adaptor_align.cpp:79-110).
 
     On TPU this takes the VMEM-resident Pallas kernel (the GCUPS roofline
     path used by tuning/thresholding); elsewhere the XLA scan.  Pass
-    ``prepared=(arrays, n)`` from :func:`prepare_scores_input` to reuse
-    one device upload across many launches.
+    ``prepared`` from :func:`prepare_scores_input` to reuse one device
+    upload — and one cost-plane build — across many launches.
+    ``as_device=True`` returns the [n] device array without pulling it
+    through the tunnel (callers stack several score vectors and read back
+    once); the default returns float64 numpy.
     """
-    from ..ops.pallas_align import fit_scores_pallas, pallas_available
+    from ..ops.pallas_align import fit_scores_from_planes, pallas_available
 
     if prepared is None:
         prepared = prepare_scores_input(adaptor, batch, pad_n, mesh)
@@ -151,18 +202,18 @@ def align_scores_only(
 
     cells = int(codes.shape[0]) * int(codes.shape[1]) * len(adaptor)
     with profiler("align.score_only", items=n, cells=cells):
-        if pallas_available():
-            scores = fit_scores_pallas(
-                codes,
-                qidx,
+        if pallas_available() and isinstance(prepared, PreparedReads):
+            l1, n_pad = prepared.plane_geometry()
+            scores = fit_scores_from_planes(
+                prepared.planes(),
                 lengths,
                 adaptor.modes,
                 adaptor.matched,
-                adaptor.match_tab,
-                adaptor.mismatch_tab,
                 float(gap_opening),
                 float(gap_extension),
-                local=True,
+                l1=l1,
+                n_pad=n_pad,
+                local=local,
             )
         else:
             scores, _ = dp_align(
@@ -175,9 +226,11 @@ def align_scores_only(
                 adaptor.mismatch_tab,
                 float(gap_opening),
                 float(gap_extension),
-                local=True,
+                local=local,
                 need_directions=False,
             )
+        if as_device:
+            return scores[:n]
         return np.asarray(scores)[:n].astype(np.float64)
 
 

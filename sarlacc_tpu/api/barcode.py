@@ -12,7 +12,6 @@ import numpy as np
 
 from ..core.encode import SeqBatch
 from ..core.frame import Frame
-from ..ops.align import dp_align, prepare_reads
 from .align_internal import prepare_adaptor
 from ..utils.profiling import profiled
 
@@ -43,43 +42,36 @@ def barcode_align(
 
     preps = [prepare_adaptor(str(seq).upper(), qual_type) for seq in barcodes]
     if preps:
-        # One read upload shared by every barcode launch (the quality table
-        # is per qual_type, not per barcode).
-        if mesh is not None:
-            from ..parallel.context import pad_to_mesh
-            from .align_internal import _pad_batch
+        # One read upload — and one cost-plane build — shared by every
+        # barcode launch (the quality table is per qual_type, not per
+        # barcode), then device-side best/second-best so only three [n]
+        # vectors cross the link instead of one [n] per barcode.
+        from .align_internal import align_scores_only, prepare_scores_input
 
-            padded, _ = _pad_batch(sequences, pad_to_mesh(n, mesh))
-        else:
-            padded = sequences
-        codes, qidx, lengths = prepare_reads(padded, preps[0].tables)
-        if mesh is not None:
-            from ..parallel.mesh import shard_reads
+        prepared = prepare_scores_input(preps[0], sequences, mesh=mesh)
+        per_bc = [
+            align_scores_only(
+                prep, None, gap_opening, gap_extension,
+                prepared=prepared, local=False, as_device=True,
+            )
+            for prep in preps
+        ]
+        import jax.numpy as jnp
 
-            codes, qidx, lengths = shard_reads(mesh, codes, qidx, lengths)
-
-    for b, prep in enumerate(preps):
-        scores, _ = dp_align(
-            codes,
-            qidx,
-            lengths,
-            prep.modes,
-            prep.matched,
-            prep.match_tab,
-            prep.mismatch_tab,
-            float(gap_opening),
-            float(gap_extension),
-            local=False,
-            need_directions=False,
+        stack = jnp.stack(per_bc).astype(jnp.float64)  # [B, n]
+        best_id = jnp.argmax(stack, axis=0)  # first max wins ties, as the
+        # sequential `scores > current_score` walk did (R/barcodeAlign.R:27-38)
+        best = jnp.take_along_axis(stack, best_id[None, :], axis=0)[0]
+        masked = jnp.where(
+            jnp.arange(len(preps))[:, None] == best_id[None, :], -jnp.inf, stack
         )
-        scores = np.asarray(scores, dtype=np.float64)[:n]
-
-        keep = scores > current_score
-        second = ~keep & (scores > next_best)
-        current_id[keep] = b
-        next_best[keep] = current_score[keep]
-        current_score[keep] = scores[keep]
-        next_best[second] = scores[second]
+        second = jnp.max(masked, axis=0)
+        packed = np.asarray(
+            jnp.stack([best_id.astype(jnp.float64), best, second])
+        )  # one readback
+        current_id = packed[0].astype(np.int64)
+        current_score = packed[1]
+        next_best = packed[2]
 
     out = Frame(
         barcode=current_id,

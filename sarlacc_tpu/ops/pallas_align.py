@@ -8,14 +8,22 @@ and runs the entire column loop inside one launch:
   sublane axis — every recurrence is elementwise over a ``(L+1, 128)`` tile;
 * the vertical-gap prefix-max (see :mod:`.align` for the derivation) becomes
   a log-shift cummax along sublanes (8 shifted maxes for L+1 <= 256);
-* per-column scalars (degeneracy mode, IUPAC matched row) come from SMEM;
-  per-read-position match/mismatch costs are precomputed outside (one XLA
-  gather) and held in VMEM for the whole launch.
+* per-column scalars (degeneracy mode, IUPAC matched-bases bitmask) come
+  from SMEM; per-read-position match/mismatch cost planes are precomputed
+  once per uploaded batch (:func:`build_cost_planes`) and shared by every
+  launch that reuses the batch — all adaptors, all barcodes, and the whole
+  tuning grid (the tables depend only on the quality encoding,
+  reference_align.cpp:21-52, not on the reference sequence).
 
 Gap penalties arrive in SMEM so the tuning grid (35 penalty combinations,
 R/tuneAlignment.R:54-72) reuses one compiled kernel.  Used by
-``align_scores_only`` on TPU; the scan path remains the fallback and the
-direction-emitting path.
+``align_scores_only`` and ``barcode_align`` on TPU; the scan path remains
+the fallback and the direction-emitting path.
+
+Measured v5e breakdown (scripts/profile_demux_tpu.py, 100k x 250 reads,
+R=47): pure kernel 22 ms (53 GCUPS); plane build 140 ms but amortized
+across >= 4 launches per batch; [N] f32 readback ~137 ms through the
+remote tunnel, so callers should batch readbacks (stack scores, one pull).
 """
 
 from __future__ import annotations
@@ -28,7 +36,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fit_scores_pallas", "pallas_available"]
+__all__ = [
+    "fit_scores_pallas",
+    "build_cost_planes",
+    "fit_scores_from_planes",
+    "pallas_available",
+    "plane_dims",
+]
 
 NEG = -3.0e38
 LANES = 128
@@ -38,6 +52,13 @@ def pallas_available() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+def plane_dims(N: int, L: int) -> tuple[int, int]:
+    """(l1, n_pad): sublane-aligned DP height and lane-padded batch width."""
+    l1 = ((L + 1 + 7) // 8) * 8
+    n_pad = ((N + LANES - 1) // LANES) * LANES
+    return l1, n_pad
+
+
 def _shift_down(x, sh, fill):
     """Rows move down by ``sh``; the top ``sh`` rows become ``fill``."""
     rolled = pltpu.roll(x, sh, axis=0)
@@ -45,116 +66,196 @@ def _shift_down(x, sh, fill):
     return jnp.where(rows < sh, fill, rolled)
 
 
-def _kernel(modes_ref, matched_ref, scal_ref, costm_ref, costmm_ref, codes_ref, out_ref, s_ref, h_ref, *, rlen, l1, local):
+def _kernel(modes_ref, mask_ref, scal_ref, costm_ref, costmm_ref, codes_ref, out_ref, s_ref, h_ref, *, rlen, l1, local):
     go = scal_ref[0] + scal_ref[1]  # gap_open stored as open+extend
     ge = scal_ref[1]
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (l1, LANES), 0)
     rows_f = rows.astype(jnp.float32)
+    # Loop-invariant hoists: the shift fill masks (one per log-shift stage),
+    # the gap ramps, and the row-0 mask — the column loop body then runs
+    # ~44 vector ops per cell (the roofline denominator in bench.py).
+    masks = {}
+    sh = 1
+    while sh < l1:
+        masks[sh] = rows < sh
+        sh *= 2
+    row0 = masks[1]
+    rge = rows_f * ge  # vertical-gap open ramp
+    rge1 = (rows_f - 1.0) * ge  # and its closing ramp
+
+    def shift1(x, sh):
+        rolled = pltpu.roll(x, sh, axis=0)
+        return jnp.where(masks[sh], NEG, rolled)
 
     # Column 0 (reference_align.cpp:65-74).
     if local:
         s_ref[:] = jnp.zeros((l1, LANES), jnp.float32)
     else:
-        ramp = -go - ge * (rows_f - 1.0)
-        s_ref[:] = jnp.where(rows == 0, 0.0, ramp)
+        ramp = -go - rge1
+        s_ref[:] = jnp.where(row0, 0.0, ramp)
     h_ref[:] = jnp.full((l1, LANES), NEG, jnp.float32)
 
     codes = codes_ref[:]  # (l1, LANES) int32; row i holds read base i-1
 
-    def column(j, _):
+    def column_body(j, zero_vgap):
+        """One reference column; ``zero_vgap`` (static) = fitting-mode last
+        column where trailing query gaps are free (reference_align.cpp:120-121)."""
         S = s_ref[:]
         H = h_ref[:]
         mode = modes_ref[j]
 
         cm = costm_ref[mode - 1]  # (l1, LANES)
         cmm = costmm_ref[mode - 1]
-        sel = jnp.zeros((l1, LANES), jnp.bool_)
-        for b in range(5):
-            sel = jnp.logical_or(
-                sel, jnp.logical_and(codes == b, matched_ref[j, b] > 0)
-            )
-        cost = jnp.where(sel, cm, cmm)
-
-        if local:
-            is_last = j == rlen - 1
-            vgo = jnp.where(is_last, 0.0, go)
-            vge = jnp.where(is_last, 0.0, ge)
-        else:
-            vgo, vge = go, ge
+        # IUPAC match test as one bitmask probe: bit b of mask_ref[j] says
+        # whether observed base b matches this reference column
+        # (reference_align.cpp:184-212 semantics baked in upstream).
+        sel = jax.lax.shift_right_logical(
+            jnp.broadcast_to(mask_ref[j], codes.shape), codes
+        ) & 1
+        cost = jnp.where(sel == 1, cm, cmm)
 
         Hn = jnp.maximum(S - go, H - ge)
-        M = _shift_down(S, 1, NEG) + cost
-        M = jnp.where(rows == 0, NEG, M)
+        M = shift1(S, 1) + cost  # row 0 already NEG via the shift fill
 
         mv = jnp.maximum(M, Hn)
-        B = (mv - vgo) + rows_f * vge
-        cum = B
+        if zero_vgap:
+            cum = mv
+        else:
+            cum = (mv - go) + rge
         sh = 1
         while sh < l1:
-            cum = jnp.maximum(cum, _shift_down(cum, sh, NEG))
+            cum = jnp.maximum(cum, shift1(cum, sh))
             sh *= 2
-        V = _shift_down(cum, 1, NEG) - (rows_f - 1.0) * vge
-        V = jnp.where(rows == 0, NEG, V)
+        V = shift1(cum, 1)  # row 0 NEG via the fill
+        if not zero_vgap:
+            V = V - rge1
 
         Sn = jnp.maximum(mv, V)
-        Sn = jnp.where(rows == 0, Hn, Sn)
+        Sn = jnp.where(row0, Hn, Sn)
         s_ref[:] = Sn
         h_ref[:] = Hn
-        return 0
 
-    jax.lax.fori_loop(0, rlen, column, 0)
+    if local and rlen >= 1:
+        # Fitting mode: free vertical gaps only in the last reference
+        # column — peel it so the loop body keeps constant penalties.
+        def column(j, _):
+            column_body(j, False)
+            return 0
+
+        jax.lax.fori_loop(0, rlen - 1, column, 0)
+        column_body(rlen - 1, True)
+    else:
+        def column(j, _):
+            column_body(j, False)
+            return 0
+
+        jax.lax.fori_loop(0, rlen, column, 0)
     out_ref[:] = s_ref[:]
 
 
-def _encode_matched(matched: np.ndarray) -> np.ndarray:
-    """matched [R,5] bool -> int32 0/1 table (minor dim padded for SMEM)."""
+def _encode_mask(matched: np.ndarray) -> np.ndarray:
+    """matched [R, 5] bool -> [R] int32 bitmask (bit b = base b matches)."""
     r = matched.shape[0]
-    enc = np.zeros((max(r, 1), 8), dtype=np.int32)
-    enc[:r, :5] = matched.astype(np.int32)
-    return enc
+    out = np.zeros(max(r, 1), dtype=np.int32)
+    if r:
+        out[:r] = (matched.astype(np.int32) << np.arange(5)[None, :]).sum(axis=1)
+    return out
 
 
-@functools.partial(
-    jax.jit, static_argnames=("rlen", "l1", "n_pad", "local", "interpret")
-)
-def _launch(modes, matched_enc, scalars, match_tab, mismatch_tab, qidx, codes_in, rlen, l1, n_pad, local, interpret):
-    # Plane construction (pad + transpose) and cost-table gathers all happen
-    # ON DEVICE: the [N, L] int8 codes/qidx arrays from prepare_reads are the
-    # only host->device transfer (the remote tunnel is slow, and they are
-    # usually already device-resident).
+@functools.partial(jax.jit, static_argnames=("l1", "n_pad"))
+def build_cost_planes(codes_in, qidx, match_tab, mismatch_tab, l1: int, n_pad: int):
+    """[4, l1, n_pad] match/mismatch cost planes + kernel-layout codes.
+
+    Runs once per uploaded batch: the planes depend only on the reads and
+    the quality encoding, so every adaptor/barcode/penalty launch against
+    this batch reuses them (v5e: ~140 ms to build vs ~22 ms per kernel).
+    """
     N, L = codes_in.shape
     qidx_k = jnp.zeros((l1, n_pad), jnp.int32)
     qidx_k = qidx_k.at[1 : L + 1, :N].set(qidx.astype(jnp.int32).T)
     codes_k = jnp.full((l1, n_pad), 5, jnp.int32)
     codes_k = codes_k.at[0].set(0)
     codes_k = codes_k.at[1 : L + 1, :N].set(codes_in.astype(jnp.int32).T)
+    costm = jnp.take(match_tab.astype(jnp.float32), qidx_k, axis=1)
+    costmm = jnp.take(mismatch_tab.astype(jnp.float32), qidx_k, axis=1)
+    return costm, costmm, codes_k
 
-    costm = jnp.take(match_tab, qidx_k, axis=1)  # [4, l1, n]
-    costmm = jnp.take(mismatch_tab, qidx_k, axis=1)
-    codes = codes_k
-    n_lanes = n_pad
-    grid = (n_lanes // LANES,)
+
+@functools.partial(
+    jax.jit, static_argnames=("rlen", "l1", "n_pad", "local", "interpret")
+)
+def _launch_planes(modes, mask, scalars, costm, costmm, codes_k, lengths,
+                   rlen: int, l1: int, n_pad: int, local: bool, interpret: bool):
+    grid = (n_pad // LANES,)
     kern = functools.partial(_kernel, rlen=rlen, l1=l1, local=local)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # modes [R]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # matched [R, 8]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # mask [R]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [2]
             pl.BlockSpec((4, l1, LANES), lambda t: (0, 0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, l1, LANES), lambda t: (0, 0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((l1, LANES), lambda t: (0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((l1, LANES), lambda t: (0, t), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((l1, n_lanes), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((l1, n_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((l1, LANES), jnp.float32),
             pltpu.VMEM((l1, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(modes, matched_enc, scalars, costm, costmm, codes)
+    )(modes, mask, scalars, costm, costmm, codes_k)
+    # Row `lengths[i]` of column rlen holds read i's score; gather on device
+    # so only [n_pad] floats ever travel.
+    n = lengths.shape[0]
+    return jnp.take_along_axis(
+        out[:, :n], lengths.astype(jnp.int32)[None, :], axis=0
+    )[0]
+
+
+def fit_scores_from_planes(
+    planes,  # (costm, costmm, codes_k) from build_cost_planes
+    lengths,  # [N] int32 (device ok)
+    modes,  # [R] int32 host
+    matched,  # [R, 5] bool host
+    gap_opening: float,
+    gap_extension: float,
+    l1: int,
+    n_pad: int,
+    local: bool = True,
+    interpret: bool | None = None,
+):
+    """Scores [n_lengths] (device array) from prebuilt cost planes."""
+    if interpret is None:
+        interpret = not pallas_available()
+    costm, costmm, codes_k = planes
+    R = int(np.asarray(modes).shape[0])
+    scalars = jnp.asarray([float(gap_opening), float(gap_extension)], jnp.float32)
+    if R == 0:
+        l = np.asarray(lengths)
+        if local:
+            return jnp.zeros(l.shape[0], jnp.float32)
+        return jnp.asarray(
+            np.where(l == 0, 0.0, -(gap_opening + gap_extension) - gap_extension * (l - 1)),
+            jnp.float32,
+        )
+    return _launch_planes(
+        jnp.asarray(np.asarray(modes, np.int32)),
+        jnp.asarray(_encode_mask(np.asarray(matched))),
+        scalars,
+        costm,
+        costmm,
+        codes_k,
+        lengths,
+        rlen=R,
+        l1=l1,
+        n_pad=n_pad,
+        local=local,
+        interpret=bool(interpret),
+    )
 
 
 def fit_scores_pallas(
@@ -173,41 +274,22 @@ def fit_scores_pallas(
     """Batch scores via the Pallas kernel; returns [N] float32.
 
     ``codes``/``qidx`` may be device arrays — they are NOT pulled to the
-    host (every host round-trip crosses the slow tunnel twice).
+    host (every host round-trip crosses the slow tunnel twice).  Callers
+    issuing several launches against one batch should instead build planes
+    once (:func:`build_cost_planes`) and use :func:`fit_scores_from_planes`.
     """
-    if interpret is None:
-        interpret = not pallas_available()
     N, L = codes.shape
-    R = int(np.asarray(modes).shape[0])
-    l1 = L + 1
-    # Sublane alignment: pad L+1 to a multiple of 8.
-    l1 = ((l1 + 7) // 8) * 8
-    n_pad = ((N + LANES - 1) // LANES) * LANES
-
-    scalars = jnp.asarray([float(gap_opening), float(gap_extension)], jnp.float32)
-    out = _launch(
-        jnp.asarray(np.asarray(modes, np.int32)),
-        jnp.asarray(_encode_matched(np.asarray(matched))),
-        scalars,
+    l1, n_pad = plane_dims(N, L)
+    planes = build_cost_planes(
+        jnp.asarray(codes, jnp.int8),
+        jnp.asarray(qidx, jnp.int8),
         jnp.asarray(match_tab, jnp.float32),
         jnp.asarray(mismatch_tab, jnp.float32),
-        jnp.asarray(qidx, jnp.int8),
-        jnp.asarray(codes, jnp.int8),
-        rlen=R,
         l1=l1,
         n_pad=n_pad,
-        local=local,
-        interpret=bool(interpret),
     )
-    if R == 0:
-        l = np.asarray(lengths)
-        if local:
-            return jnp.zeros(N, jnp.float32)
-        return jnp.asarray(
-            np.where(l == 0, 0.0, -(gap_opening + gap_extension) - gap_extension * (l - 1)),
-            jnp.float32,
-        )
-    scores = jnp.take_along_axis(
-        out[:, :N], jnp.asarray(lengths, jnp.int32)[None, :], axis=0
-    )[0]
-    return scores
+    return fit_scores_from_planes(
+        planes, jnp.asarray(lengths, jnp.int32), modes, matched,
+        gap_opening, gap_extension, l1=l1, n_pad=n_pad, local=local,
+        interpret=interpret,
+    )

@@ -1,0 +1,84 @@
+"""Pallas score-kernel parity (interpret mode) against the XLA scan path.
+
+The kernel is the production TPU scorer for tuning/thresholding/demux
+(fitting mode) and barcode assignment (global mode); CPU CI runs it under
+``interpret=True`` against the oracle-validated scan (test_device_align.py
+ties the scan itself to refimpl).  Covers the shared-cost-plane path used
+by PreparedReads — one plane build, many adaptors/penalties.
+"""
+
+import numpy as np
+import pytest
+
+from sarlacc_tpu.api.align_internal import prepare_adaptor
+from sarlacc_tpu.core.encode import SeqBatch
+from sarlacc_tpu.ops.align import dp_align, prepare_reads
+from sarlacc_tpu.ops.pallas_align import (
+    build_cost_planes,
+    fit_scores_from_planes,
+    fit_scores_pallas,
+    plane_dims,
+)
+
+ADAPTOR = "ACGCTAGCATCAGTCNNNNCACAGCTACGANNNNNNNNCGTACGCAT"
+BARCODE = "ACGTTGCACGTA"
+
+
+def _batch(rng, n=37, minl=0, maxl=60):
+    seqs, quals = [], []
+    for _ in range(n):
+        ln = int(rng.integers(minl, maxl + 1))
+        seqs.append("".join(rng.choice(list("ACGTN"), ln)))
+        quals.append("".join(chr(int(c)) for c in rng.integers(35, 90, ln)))
+    return SeqBatch.from_strings(seqs, quals=quals)
+
+
+@pytest.mark.parametrize("local,ref", [(True, ADAPTOR), (False, BARCODE)])
+@pytest.mark.parametrize("go,ge", [(5.0, 1.0), (2.0, 3.0)])
+def test_pallas_scores_match_scan(rng, local, ref, go, ge):
+    ad = prepare_adaptor(ref)
+    batch = _batch(rng)
+    codes, qidx, lengths = prepare_reads(batch, ad.tables)
+    want, _ = dp_align(
+        codes, qidx, lengths, ad.modes, ad.matched, ad.match_tab,
+        ad.mismatch_tab, go, ge, local=local, need_directions=False,
+    )
+    got = fit_scores_pallas(
+        np.asarray(codes), np.asarray(qidx), np.asarray(lengths),
+        ad.modes, ad.matched, ad.match_tab, ad.mismatch_tab,
+        go, ge, local=local, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want).astype(np.float32), rtol=0, atol=2e-4
+    )
+
+
+def test_shared_planes_across_adaptors(rng):
+    """One plane build serves different references and penalties (the
+    demux/tuning production pattern)."""
+    a1 = prepare_adaptor(ADAPTOR)
+    a2 = prepare_adaptor(BARCODE)
+    batch = _batch(rng, n=21, minl=5, maxl=40)
+    codes, qidx, lengths = prepare_reads(batch, a1.tables)
+    l1, n_pad = plane_dims(*np.asarray(codes).shape)
+    import jax.numpy as jnp
+
+    planes = build_cost_planes(
+        codes, qidx, jnp.asarray(a1.match_tab), jnp.asarray(a1.mismatch_tab),
+        l1=l1, n_pad=n_pad,
+    )
+    for ad, local, go, ge in [
+        (a1, True, 5.0, 1.0), (a2, False, 5.0, 1.0), (a1, True, 3.0, 2.0),
+    ]:
+        want, _ = dp_align(
+            codes, qidx, lengths, ad.modes, ad.matched, ad.match_tab,
+            ad.mismatch_tab, go, ge, local=local, need_directions=False,
+        )
+        got = fit_scores_from_planes(
+            planes, lengths, ad.modes, ad.matched, go, ge,
+            l1=l1, n_pad=n_pad, local=local, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want).astype(np.float32),
+            rtol=0, atol=2e-4,
+        )
