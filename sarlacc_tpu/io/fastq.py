@@ -25,6 +25,7 @@ __all__ = [
     "sample_fastq",
     "write_fastq",
     "count_fastq",
+    "fastq_shard_range",
 ]
 
 
@@ -125,21 +126,117 @@ def read_fastq(path: str, pad_to: int | None = None) -> SeqBatch:
     return _batch_from_bytes(buf, pad_to=pad_to)
 
 
+_SEQ_BYTES = frozenset(b"ACGTNUMRWSYKVHDBacgtnumrwsykvhdb.-")
+
+
+def _is_record_start(lines: list[bytes], k: int) -> bool:
+    """True if ``lines[k]`` begins a FASTQ record.
+
+    A quality line can itself start with ``@`` (Phred 31), so the header
+    test alone is ambiguous; require the full 4-line shape: header ``@``,
+    plausible sequence characters, ``+`` separator, equal-length quality.
+    """
+    if k + 3 >= len(lines):
+        return False
+    l0, l1, l2, l3 = lines[k : k + 4]
+    if not l0.startswith(b"@") or not l2.startswith(b"+"):
+        return False
+    if len(l3.rstrip(b"\r")) != len(l1.rstrip(b"\r")):
+        return False
+    return all(c in _SEQ_BYTES for c in l1.rstrip(b"\r"))
+
+
+def _resolve_record_start(fh, nominal: int, size: int, window: int = 1 << 20) -> int:
+    """First record-start byte offset >= the first line start at/after
+    ``nominal``.  Pure function of ``nominal`` so adjacent shards computed
+    independently tile the file exactly (SURVEY.md §7.2(5): per-host FASTQ
+    shard ranges)."""
+    if nominal <= 0:
+        return 0
+    if nominal >= size:
+        return size
+    at = nominal - 1
+    fh.seek(at)
+    buf = fh.read(min(window, size - at))
+    while b"\n" not in buf[: len(buf) - 1] and at + len(buf) < size:
+        buf += fh.read(window)
+    # Line starts within the buffer (absolute offsets).
+    if buf[:1] == b"\n":
+        first = at + 1
+    else:
+        nlpos = buf.find(b"\n")
+        if nlpos == -1:
+            return size
+        first = at + nlpos + 1
+    while True:
+        rel = first - at
+        lines = buf[rel:].split(b"\n")
+        for k in range(min(len(lines) - 3, 8)):
+            if _is_record_start(lines, k):
+                return first + sum(len(l) + 1 for l in lines[:k])
+        if at + len(buf) >= size:
+            return size
+        buf += fh.read(window)
+
+
+def fastq_shard_range(path: str, rank: int, nshards: int) -> tuple[int, int]:
+    """Byte range [start, end) of host ``rank``'s contiguous shard.
+
+    Each host resolves only its own boundaries (two seeks + small probes);
+    the ranges tile the file, so the concatenation over ranks in rank order
+    is byte-identical to the whole file.  Plain files only — gzip has no
+    random access (use record striding or decompress first).
+    """
+    if str(path).endswith(".gz"):
+        raise ValueError("byte-range sharding requires an uncompressed FASTQ")
+    if not (0 <= rank < nshards):
+        raise ValueError("rank must be in [0, nshards)")
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        start = _resolve_record_start(fh, size * rank // nshards, size)
+        end = (
+            size
+            if rank == nshards - 1
+            else _resolve_record_start(fh, size * (rank + 1) // nshards, size)
+        )
+    return start, end
+
+
 def stream_fastq(
-    path: str, chunk_size: int = 100_000, pad_to: int | None = None
+    path: str,
+    chunk_size: int = 100_000,
+    pad_to: int | None = None,
+    shard: tuple[int, int] | None = None,
 ) -> Iterator[SeqBatch]:
     """Yield SeqBatch chunks of at most ``chunk_size`` reads.
 
     Reads byte blocks and splits on record boundaries, so parsing stays
     vectorized while memory is bounded by the chunk size.
+
+    ``shard=(rank, nshards)`` streams only host ``rank``'s contiguous byte
+    range (:func:`fastq_shard_range`) — the multi-host input path
+    (SURVEY.md §7.2(5)): each host reads its slice of the file and the
+    rank-ordered concatenation of shard streams reproduces the
+    single-host stream record-for-record.
     """
+    start, limit = 0, None
+    if shard is not None:
+        start, end = fastq_shard_range(path, int(shard[0]), int(shard[1]))
+        limit = end - start
+        if limit <= 0:
+            return
     approx_bytes = 64 * 1024 * 1024
     with _open(path, "rb") as fh:
+        if start:
+            fh.seek(start)
         pending = b""
+        got = 0
         while True:
-            block = fh.read(approx_bytes)
+            want = approx_bytes if limit is None else min(approx_bytes, limit - got)
+            block = fh.read(want) if want > 0 else b""
             if not block:
                 break
+            got += len(block)
             pending += block
             # Find the last complete 4-line record boundary.
             count = pending.count(b"\n")
