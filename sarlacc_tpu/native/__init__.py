@@ -19,7 +19,8 @@ import numpy as np
 __all__ = [
     "get_lib", "native_available", "greedy_cluster_native",
     "greedy_cluster_csr", "triplet_extend_native", "accumulate_cost_native",
-    "candidate_pairs_native",
+    "candidate_pairs_native", "candidate_verify_native",
+    "verify_pairs_native", "ABORTED",
 ]
 
 _SRC = os.path.join(os.path.dirname(__file__), "msa_host.cpp")
@@ -40,7 +41,7 @@ def _build() -> ctypes.CDLL | None:
         tmp = so + ".tmp"
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-            _SRC, "-o", tmp,
+            "-pthread", _SRC, "-o", tmp,
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=300)
@@ -88,6 +89,18 @@ def _declare(lib: ctypes.CDLL) -> None:
     u64p = ctypes.POINTER(ctypes.c_uint64)
     lib.candidate_pairs.restype = ctypes.c_int64
     lib.candidate_pairs.argtypes = [u64p, i32p, ctypes.c_int64, u64p, ctypes.c_int64]
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.verify_pairs_lev2.restype = None
+    lib.verify_pairs_lev2.argtypes = [
+        i8p, i32p, ctypes.c_int32, i64p, i64p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, u8p,
+    ]
+    lib.candidate_verify_pairs.restype = ctypes.c_int64
+    lib.candidate_verify_pairs.argtypes = [
+        u64p, i32p, ctypes.c_int64, i8p, i32p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, u64p, ctypes.c_int64, ctypes.c_int64,
+    ]
 
 
 def _ptr(a: np.ndarray, ct):
@@ -221,6 +234,67 @@ def candidate_pairs_native(
         if needed > pair_cap:
             return None
         cap = needed + 1024
+
+
+#: Returned by candidate_verify_native when the raw pair volume blew past
+#: raw_cap (low-complexity pathology) — the caller must fall back.
+ABORTED = object()
+
+
+def candidate_verify_native(
+    h: np.ndarray, owner: np.ndarray, codes: np.ndarray, lengths: np.ndarray,
+    limit: int, thr: int, raw_cap: int,
+):
+    """Fused candidate generation + banded verification in one C++ pass.
+
+    Returns uint64 keys ((lo<<32)|hi, sorted unique) of SURVIVING pairs,
+    ``None`` if the library is unavailable, or :data:`ABORTED` if the raw
+    candidate volume exceeded ``raw_cap``.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = np.ascontiguousarray(h, np.uint64)
+    owner = np.ascontiguousarray(owner, np.int32)
+    codes = np.ascontiguousarray(codes, np.int8)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    cap = int(max(4 * h.size, 1 << 20))
+    while True:
+        out = np.empty(cap, np.uint64)
+        m = lib.candidate_verify_pairs(
+            _ptr(h, ctypes.c_uint64), _ptr(owner, ctypes.c_int32), h.size,
+            _ptr(codes, ctypes.c_int8), _ptr(lengths, ctypes.c_int32),
+            codes.shape[1], int(limit), int(thr),
+            _ptr(out, ctypes.c_uint64), cap, int(raw_cap),
+        )
+        if m == -(2 ** 63):
+            return ABORTED
+        if m >= 0:
+            return out[:m].copy()
+        cap = int(-m) + 1024
+
+
+def verify_pairs_native(
+    codes: np.ndarray, lengths: np.ndarray, ua: np.ndarray, ub: np.ndarray,
+    limit: int, thr: int,
+) -> np.ndarray | None:
+    """Banded exact d2<=thr verdicts for candidate pairs; None if the
+    library is unavailable (the device DP path applies)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.int8)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    ua = np.ascontiguousarray(ua, np.int64)
+    ub = np.ascontiguousarray(ub, np.int64)
+    out = np.zeros(ua.size, np.uint8)
+    if ua.size:
+        lib.verify_pairs_lev2(
+            _ptr(codes, ctypes.c_int8), _ptr(lengths, ctypes.c_int32),
+            codes.shape[1], _ptr(ua, ctypes.c_int64), _ptr(ub, ctypes.c_int64),
+            ua.size, int(limit), int(thr), _ptr(out, ctypes.c_uint8),
+        )
+    return out.astype(bool)
 
 
 def accumulate_cost_native(ci, cj, w, lo, la, width, cost) -> bool:

@@ -18,7 +18,49 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
+
+namespace {
+
+// Banded doubled-cost masked-Levenshtein accept test (see verify_pairs_lev2
+// below for the exactness argument).
+inline bool lev2_banded_ok(
+    const int8_t* a, int32_t la, const int8_t* b, int32_t lb,
+    int32_t limit, int32_t thr, int32_t* prev, int32_t* cur)
+{
+    const int B = 2 * limit + 1;
+    const int32_t BIG = 1 << 28;
+    if (la - lb > limit || lb - la > limit) return false;
+    for (int k = 0; k < B; ++k) {
+        const int32_t j = k - limit;
+        prev[k] = (j >= 0 && j <= lb) ? 2 * j : BIG;
+    }
+    for (int32_t i = 1; i <= la; ++i) {
+        const int8_t ai = a[i - 1];
+        int32_t rowmin = BIG;
+        for (int k = 0; k < B; ++k) {
+            const int32_t j = i - limit + k;
+            if (j < 0 || j > lb) { cur[k] = BIG; continue; }
+            int32_t best = (k + 1 < B) ? prev[k + 1] + 2 : BIG;
+            if (k > 0 && cur[k - 1] + 2 < best) best = cur[k - 1] + 2;
+            if (j > 0) {
+                const int8_t bj = b[j - 1];
+                const int32_t ms =
+                    (ai == 4 || bj == 4) ? 1 : (ai == bj ? 0 : 2);
+                if (prev[k] + ms < best) best = prev[k] + ms;
+            }
+            cur[k] = best;
+            if (best < rowmin) rowmin = best;
+        }
+        if (rowmin > thr) return false;
+        std::swap(prev, cur);
+    }
+    const int kfin = lb - la + limit;
+    return kfin >= 0 && kfin < B && prev[kfin] <= thr;
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -233,6 +275,115 @@ void accumulate_cost(
 // sorts + uniques the pair keys.  Returns the number of unique pairs, or
 // -needed if cap was too small (caller retries with a bigger buffer).
 // ---------------------------------------------------------------------------
+// ---------------------------------------------------------------------------
+// Banded doubled-cost masked-Levenshtein verification for candidate pairs
+// (sorted_trie.cpp:13-21 cost model: match 0, N-vs-anything 1, mismatch and
+// indel 2).  Any path cell (i, j) costs >= 2*|i-j|, so restricting the DP to
+// the |i-j| <= limit band is EXACT for the "d2 <= thr = 2*limit" decision;
+// pairs with |la-lb| > limit reject immediately.  codes: int8 [n, W]
+// (A=0..N=4, pad anything); out[p] = 1 iff d2(pair p) <= thr.
+// ---------------------------------------------------------------------------
+void verify_pairs_lev2(
+    const int8_t* codes, const int32_t* lens, int32_t W,
+    const int64_t* ua, const int64_t* ub, int64_t npairs,
+    int32_t limit, int32_t thr, uint8_t* out)
+{
+    const int B = 2 * limit + 1;
+    std::vector<int32_t> prev(B), cur(B);
+    for (int64_t p = 0; p < npairs; ++p) {
+        out[p] = lev2_banded_ok(
+            codes + ua[p] * (int64_t)W, lens[ua[p]],
+            codes + ub[p] * (int64_t)W, lens[ub[p]],
+            limit, thr, prev.data(), cur.data()) ? 1 : 0;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Fused symmetric-delete candidate generation + banded verification: walks
+// shared-variant runs and verifies each raw pair inline, so the (heavily
+// duplicated) raw pair stream is never materialized or globally sorted —
+// only SURVIVING pair keys are appended, then sorted + deduped (a true pair
+// appears once per shared variant, but survivors are few).  Two threads
+// split the run list (runs never straddle the split).  Returns the number
+// of unique surviving keys, or -needed if cap was too small.
+// ---------------------------------------------------------------------------
+int64_t candidate_verify_pairs(
+    const uint64_t* h, const int32_t* owner, int64_t n,
+    const int8_t* codes, const int32_t* lens, int32_t W,
+    int32_t limit, int32_t thr, uint64_t* out, int64_t cap,
+    int64_t raw_cap)
+{
+    std::vector<std::pair<uint64_t, int32_t>> e(n);
+    for (int64_t i = 0; i < n; ++i) e[i] = {h[i], owner[i]};
+    std::sort(e.begin(), e.end());
+    e.erase(std::unique(e.begin(), e.end()), e.end());
+    const int64_t ne = (int64_t)e.size();
+
+    std::vector<int64_t> run_starts;
+    for (int64_t s = 0; s < ne;) {
+        int64_t t = s + 1;
+        while (t < ne && e[t].first == e[s].first) ++t;
+        if (t - s > 1) run_starts.push_back(s);
+        s = t;
+    }
+    run_starts.push_back(ne);  // sentinel
+
+    const int nruns = (int64_t)run_starts.size() - 1;
+    const int nthreads = nruns > 1024 ? 2 : 1;
+    std::vector<std::vector<uint64_t>> found(nthreads);
+    std::vector<int64_t> raw(nthreads, 0);
+    volatile bool abort_flag = false;  // low-complexity blowup guard
+
+    auto work = [&](int tid) {
+        const int B = 2 * limit + 1;
+        std::vector<int32_t> prev(B), cur(B);
+        auto& mine = found[tid];
+        for (int64_t ri = tid; ri < nruns; ri += nthreads) {
+            if (abort_flag) return;
+            if (raw[tid] > raw_cap) { abort_flag = true; return; }
+            const int64_t s = run_starts[ri];
+            int64_t t = s + 1;
+            while (t < ne && e[t].first == e[s].first) ++t;
+            for (int64_t i = s; i < t; ++i) {
+                const int32_t oa = e[i].second;
+                const int8_t* a = codes + (int64_t)oa * W;
+                const int32_t la = lens[oa];
+                for (int64_t j = i + 1; j < t; ++j) {
+                    const int32_t ob = e[j].second;
+                    if (ob == oa) continue;
+                    ++raw[tid];
+                    if (lev2_banded_ok(a, la, codes + (int64_t)ob * W,
+                                       lens[ob], limit, thr,
+                                       prev.data(), cur.data())) {
+                        const uint32_t lo = oa < ob ? oa : ob;
+                        const uint32_t hi = oa < ob ? ob : oa;
+                        mine.push_back(((uint64_t)lo << 32) | hi);
+                    }
+                }
+            }
+        }
+    };
+    if (nthreads == 1) {
+        work(0);
+    } else {
+        std::thread th(work, 1);
+        work(0);
+        th.join();
+    }
+    if (abort_flag) return INT64_MIN;
+
+    int64_t m = 0;
+    for (auto& v : found) m += (int64_t)v.size();
+    if (m > cap) return -m;
+    int64_t at = 0;
+    for (auto& v : found) {
+        std::memcpy(out + at, v.data(), v.size() * sizeof(uint64_t));
+        at += (int64_t)v.size();
+    }
+    std::sort(out, out + m);
+    return (int64_t)(std::unique(out, out + m) - out);
+}
+
 int64_t candidate_pairs(
     const uint64_t* h, const int32_t* owner, int64_t n,
     uint64_t* out, int64_t cap)

@@ -513,16 +513,35 @@ def _neighbor_pairs_filtered(
         codes[a_rows], lengths[a_rows], k
     )
     owner = a_rows[owner]
-    # Absolute budget on raw (pre-dedup) candidate slots: two int64 columns
-    # must fit comfortably in host RAM; pathological low-complexity inputs
-    # that blow past it fall back to the row-block scan.
+    # Budget on raw (pre-dedup) candidate volume: beyond it the filter is
+    # no better than the dense scan (pathological low-complexity inputs)
+    # and the caller falls back to the row-block path.
     pair_cap = min(max(1 << 24, n * 2048), 1 << 28)
-    cand = _candidate_pairs_from_entries(h, owner, pair_cap)
-    if cand is None:
-        return None
 
-    parts_a = [cand[:, 0]]
-    parts_b = [cand[:, 1]]
+    from ..native import ABORTED, candidate_verify_native, verify_pairs_native
+
+    # Fast path: fused C++ candidate generation + banded verification — the
+    # raw pair stream (heavily duplicated for close pairs) is never
+    # materialized; only surviving keys come back.  The banded DP is exact
+    # for the d2 <= 2*limit decision because any DP cell (i, j) costs
+    # >= 2|i-j|, so no accepting path leaves the band.
+    fused = candidate_verify_native(
+        h, owner, codes, lengths, int(limit), thr, raw_cap=1 << 31
+    )
+    if fused is ABORTED:
+        return None
+    if fused is not None:
+        sa = (fused >> np.uint64(32)).astype(np.int64)
+        sb = (fused & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    else:
+        cand = _candidate_pairs_from_entries(h, owner, pair_cap)
+        if cand is None:
+            return None
+        ok = _verify_pairs_device(codes, lengths, cand[:, 0], cand[:, 1], thr)
+        sa, sb = cand[ok, 0], cand[ok, 1]
+
+    parts_a = [sa]
+    parts_b = [sb]
     if n_rows.size:
         # N rows vs every row (self included — the diagonal is not free for
         # them), upper-triangle normalized, deduped against double-counting
@@ -533,12 +552,15 @@ def _neighbor_pairs_filtered(
         hi = np.maximum(ra, rb)
         key = (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64)
         uk = np.unique(key)
-        parts_a.append((uk >> np.uint64(32)).astype(np.int64))
-        parts_b.append((uk & np.uint64(0xFFFFFFFF)).astype(np.int64))
+        na = (uk >> np.uint64(32)).astype(np.int64)
+        nb = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        ok = verify_pairs_native(codes, lengths, na, nb, int(limit), thr)
+        if ok is None:
+            ok = _verify_pairs_device(codes, lengths, na, nb, thr)
+        parts_a.append(na[ok])
+        parts_b.append(nb[ok])
     ua = np.concatenate(parts_a)
     ub = np.concatenate(parts_b)
-    ok = _verify_pairs_device(codes, lengths, ua, ub, thr)
-    ua, ub = ua[ok], ub[ok]
     # Diagonal for N-free strings is always distance 0.
     ua = np.concatenate([ua, a_rows])
     ub = np.concatenate([ub, a_rows])
@@ -575,12 +597,14 @@ def _neighbor_pairs_rowblock(
         return b
 
     # Per row block: column range from the exact length prune, upper
-    # triangle only.  Work splits into fixed-size column-tile CHUNKS so ONE
-    # compiled program serves every launch (per-block power-of-two scan
-    # lengths caused a fresh multi-minute remote compile per distinct
-    # bucket, which dominated wall time at 100k UMIs), and chunk launches
-    # dispatch asynchronously in a bounded window.
-    NJT_CHUNK = 32
+    # triangle only.  Work splits into fixed-size column-tile CHUNKS so a
+    # BOUNDED set of compiled programs serves every launch (per-block
+    # power-of-two scan lengths caused a fresh multi-minute remote compile
+    # per distinct bucket, which dominated wall time at 100k UMIs), and
+    # chunk launches dispatch asynchronously in a bounded window.  Two size
+    # classes (ADVICE r2): small inputs take the NJT=4 program instead of
+    # paying up to 31 masked-but-computed dead tiles in the NJT=32 one.
+    NJT_BIG, NJT_SMALL = 32, 4
     chunks: list[tuple[int, int, int]] = []
     for i0 in range(0, n_pad, TI):
         if i0 >= n:
@@ -589,8 +613,11 @@ def _neighbor_pairs_rowblock(
         j_hi = int(np.searchsorted(s_len, hi_len + int(limit), side="right"))
         jt0 = i0  # j >= i
         njt = max(0, -(-(min(max(j_hi, i0 + 1), n) - jt0) // TJ))
-        for c0 in range(0, njt, NJT_CHUNK):
-            chunks.append((i0, jt0 + c0 * TJ, min(NJT_CHUNK, njt - c0)))
+        c0 = 0
+        while c0 < njt:
+            step = NJT_BIG if njt - c0 > NJT_SMALL else NJT_SMALL
+            chunks.append((i0, jt0 + c0 * TJ, min(step, njt - c0)))
+            c0 += step
 
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
@@ -617,7 +644,8 @@ def _neighbor_pairs_rowblock(
         for i0, jt0, njt, kc in todo:
             dev = _lev2_rowblock_sparse(
                 codes_dev, lens_dev, n, i0, jt0, njt, thr,
-                TI=TI, TJ=TJ, NJT=NJT_CHUNK, L=Lb, KCAP=_bkt(kc, 64),
+                TI=TI, TJ=TJ, NJT=NJT_BIG if njt > NJT_SMALL else NJT_SMALL,
+                L=Lb, KCAP=_bkt(kc, 64),
             )
             inflight.append((i0, jt0, njt, kc, dev))
             if len(inflight) >= MAX_INFLIGHT:

@@ -287,6 +287,18 @@ def _compact_jmat(jmat: np.ndarray, n: int) -> list:
     return out
 
 
+def _pair_chunk(rows_b: int, W_b: int, budget: int = 1 << 30) -> int:
+    """Max pairs per banded-DP launch so the [rows, P, W] int8 direction
+    tensor stays under ``budget`` bytes — one unchunked 50k-pair bucket at
+    rows=1024, W=256 would ask the chip for >10 GB and OOM (r3 10k-read
+    pipeline).  Power-of-two so compiled programs stay bounded."""
+    p = budget // max(rows_b * W_b, 1)
+    c = 128
+    while c * 2 <= p:
+        c *= 2
+    return c
+
+
 def _run_pair_bucket(
     codes_a, lens_a, codes_b, lens_b, lo, hi,
     match, mismatch, gap_open, gap_ext, bandwidth, rows_b, W_b,
@@ -460,12 +472,14 @@ def banded_pair_align(
     inflight = []
     for key in sorted(set(zip(rows_c.tolist(), W_c.tolist()))):
         idx = np.flatnonzero((rows_c == key[0]) & (W_c == key[1]))
-        sc_dev, jmat_dev, _ = _run_pair_bucket(
-            codes_a[idx], lens_a[idx], codes_b[idx], lens_b[idx],
-            lo[idx], hi[idx], match, mismatch, gap_open, gap_ext,
-            bandwidth, int(key[0]), int(key[1]),
-        )
-        inflight.append((idx, sc_dev, jmat_dev))
+        for c0 in range(0, idx.size, _pair_chunk(int(key[0]), int(key[1]))):
+            sub = idx[c0 : c0 + _pair_chunk(int(key[0]), int(key[1]))]
+            sc_dev, jmat_dev, _ = _run_pair_bucket(
+                codes_a[sub], lens_a[sub], codes_b[sub], lens_b[sub],
+                lo[sub], hi[sub], match, mismatch, gap_open, gap_ext,
+                bandwidth, int(key[0]), int(key[1]),
+            )
+            inflight.append((sub, sc_dev, jmat_dev))
     from ..utils.profiling import profiler as _prof
 
     with _prof("msa.pair_walk"):
@@ -902,12 +916,14 @@ def pair_maps_device(
     inflight = []
     for key in sorted(set(zip(rows_c.tolist(), W_c.tolist()))):
         idx = np.flatnonzero((rows_c == key[0]) & (W_c == key[1]))
-        _, jmat_dev, ident_dev = _run_pair_bucket(
-            codes_a[idx], lens_a[idx], codes_b[idx], lens_b[idx],
-            lo[idx], hi[idx], match, mismatch, gap_open, gap_ext,
-            bandwidth, int(key[0]), int(key[1]),
-        )
-        inflight.append((idx, int(key[0]), jmat_dev, ident_dev))
+        for c0 in range(0, idx.size, _pair_chunk(int(key[0]), int(key[1]))):
+            sub = idx[c0 : c0 + _pair_chunk(int(key[0]), int(key[1]))]
+            _, jmat_dev, ident_dev = _run_pair_bucket(
+                codes_a[sub], lens_a[sub], codes_b[sub], lens_b[sub],
+                lo[sub], hi[sub], match, mismatch, gap_open, gap_ext,
+                bandwidth, int(key[0]), int(key[1]),
+            )
+            inflight.append((sub, int(key[0]), jmat_dev, ident_dev))
 
     fracs = np.zeros(J, np.float64)
     for idx, rows_b, jmat_dev, ident_dev in inflight:
