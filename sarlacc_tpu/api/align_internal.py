@@ -257,26 +257,52 @@ def align_and_extract(
     from ..utils.profiling import profiler
 
     cells = int(codes.shape[0]) * int(codes.shape[1]) * len(adaptor)
+    from ..ops.pallas_align import (
+        dirs_pallas_ok,
+        fit_dirs_pallas,
+        pallas_available,
+    )
+
+    use_pallas = pallas_available() and dirs_pallas_ok(
+        len(adaptor), int(codes.shape[1])
+    )
     with profiler("align.fit", items=n, cells=cells):
-        scores, dirs = dp_align(
-            codes,
-            qidx,
-            lengths,
-            adaptor.modes,
-            adaptor.matched,
-            adaptor.match_tab,
-            adaptor.mismatch_tab,
-            float(gap_opening),
-            float(gap_extension),
-            local=True,
-            need_directions=True,
-        )
+        if use_pallas:
+            # VMEM-resident direction-emitting kernel (VERDICT r2 #4): the
+            # whole column loop runs in one launch; dirs land in HBM in the
+            # kernel's plane layout and feed the device walk directly.
+            scores, dirs, _ = fit_dirs_pallas(
+                codes,
+                qidx,
+                lengths,
+                adaptor.modes,
+                adaptor.matched,
+                adaptor.match_tab,
+                adaptor.mismatch_tab,
+                float(gap_opening),
+                float(gap_extension),
+                local=True,
+            )
+        else:
+            scores, dirs = dp_align(
+                codes,
+                qidx,
+                lengths,
+                adaptor.modes,
+                adaptor.matched,
+                adaptor.match_tab,
+                adaptor.mismatch_tab,
+                float(gap_opening),
+                float(gap_extension),
+                local=True,
+                need_directions=True,
+            )
         scores = np.asarray(scores)[:n].astype(np.float64)
 
     # Backtrack on device: the direction tensor never leaves HBM; only the
     # [N, R+1] mapping arrays transfer.
     rlen = len(adaptor)
-    om_d, orow_d = qmap_walk_device(dirs, lengths)
+    om_d, orow_d = qmap_walk_device(dirs, lengths, plane_layout=use_pallas)
     is_match = np.asarray(om_d)[:n]
     dp_row = np.asarray(orow_d)[:n]
     nrows = batch.lengths.astype(np.int64) + 1

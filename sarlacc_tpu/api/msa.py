@@ -611,12 +611,38 @@ def _build_library_host(
     return lib_dev, pair_seg, idents
 
 
+#: Estimated-library byte budget per MSA segment: segments at this size stay
+#: comfortably on the device path (2 GiB table guard) and bound peak HBM.
+_SEGMENT_LIB_BUDGET = 1 << 30
+
+
+def _group_lib_bytes(lengths, idx) -> int:
+    """Estimated packed extended-library bytes for one group ([T, 3] uint16
+    rows ~ pairs * slot-bucket * stride)."""
+
+    def _bkt(x, base):
+        b = base
+        while b < x:
+            b *= 2
+        return b
+
+    g = idx.size
+    if g < 2:
+        return 0
+    sl = _bkt(max(g - 1, 1), 2)
+    stride = _bkt(int(lengths[idx].max(initial=1)) + 1, 128)
+    return (g * (g - 1) // 2) * sl * stride * 6
+
+
 def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
     """MSA for all groups, batching device launches across groups.
 
-    One launch computes every group's pairwise library; progressive merges
-    run in waves — each wave batches the next pending merge of every active
-    group into a single device call (#waves == deepest guide tree).
+    Groups are packed into **segments** whose estimated consistency-library
+    size fits :data:`_SEGMENT_LIB_BUDGET`; each segment builds its library
+    in one batched launch set and runs its merges in cross-group waves.
+    Segmenting bounds peak HBM (an unsegmented 10k-read workload OOMs a
+    16 GB chip on the library alone) while keeping launches thousands of
+    pairs wide.
     """
     decode = np.frombuffer(b"ACGTN-", dtype=np.uint8)
     results: list[list[str] | None] = [None] * len(by_group)
@@ -632,6 +658,32 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
         else:
             active.append(gi)
 
+    segments: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for gi in active:
+        b = _group_lib_bytes(lengths, by_group[gi])
+        if cur and cur_bytes + b > _SEGMENT_LIB_BUDGET:
+            segments.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(gi)
+        cur_bytes += b
+    if cur:
+        segments.append(cur)
+
+    for seg in segments:
+        _msa_segment(
+            codes, lengths, by_group, seg, match, mismatch, go, ge,
+            bandwidth, decode, results,
+        )
+    return results
+
+
+def _msa_segment(
+    codes, lengths, by_group, active, match, mismatch, go, ge, bandwidth,
+    decode, results,
+):
+    """Library + guide trees + merge waves for one segment of groups."""
     from ..utils.profiling import profiler
 
     import os
@@ -720,7 +772,7 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
         pending = [gi for gi in pending if state[gi]["todo"]]
 
     with profiler("msa.reconstruct"):
-        return _reconstruct(state, active, by_group, codes, decode, results)
+        _reconstruct(state, active, by_group, codes, decode, results)
 
 
 def _reconstruct(state, active, by_group, codes, decode, results):

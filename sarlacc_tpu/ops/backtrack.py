@@ -17,6 +17,8 @@ read's walk is O(L + R) so even 1e5 reads are cheap relative to the DP.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,8 +36,45 @@ __all__ = [
 ]
 
 
-@jax.jit
-def qmap_walk_device(dirs, lengths):
+def _pad_lengths(lengths, N: int):
+    """Zero-pad lengths to the walk width (the plane layout is lane-padded
+    beyond the batch; padded lanes walk trivially from length 0)."""
+    l = jnp.asarray(lengths, jnp.int32)
+    if l.shape[0] == N:
+        return l
+    return jnp.zeros(N, jnp.int32).at[: l.shape[0]].set(l)
+
+
+def _dir_fetch(dirs, plane_layout: bool):
+    """(R, N, walk-step budget, fetch(col, row) -> [N] int32) for either
+    direction layout: the scan path's ``[R, N, L+1]`` (read-major) or the
+    Pallas kernel's plane layout ``[R, l1, n_pad]`` (position-major,
+    :func:`..pallas_align.fit_dirs_pallas`)."""
+    if plane_layout:
+        R, l1, N = dirs.shape
+        flat = dirs.reshape(R * l1, N)
+
+        def fetch(col, row):
+            idx = jnp.clip((col - 1) * l1 + row, 0, R * l1 - 1)
+            return jnp.take_along_axis(flat, idx[None, :], axis=0)[0].astype(
+                jnp.int32
+            )
+
+        return R, N, l1, fetch
+    R, N, L1 = dirs.shape
+    flat = dirs.transpose(1, 0, 2).reshape(N, R * L1)  # [N, R*L1]
+
+    def fetch(col, row):
+        idx = jnp.clip((col - 1) * L1 + row, 0, R * L1 - 1)
+        return jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0].astype(
+            jnp.int32
+        )
+
+    return R, N, L1, fetch
+
+
+@functools.partial(jax.jit, static_argnames=("plane_layout",))
+def qmap_walk_device(dirs, lengths, plane_layout: bool = False):
     """Batched on-device replay of the template backtrack -> query maps.
 
     The direction tensor stays in HBM; only the tiny per-reference-position
@@ -48,12 +87,11 @@ def qmap_walk_device(dirs, lengths):
     initial (False, 0); diag cells record (True, row); left-run cells record
     (False, row+1); up-runs record nothing.
     """
-    R, N, L1 = dirs.shape
-    flat = dirs.transpose(1, 0, 2).reshape(N, R * L1)  # [N, R*L1]
+    R, N, L1, fetch = _dir_fetch(dirs, plane_layout)
     narr = jnp.arange(N)
 
     col0 = jnp.full(N, R, jnp.int32)
-    row0 = jnp.asarray(lengths, jnp.int32)
+    row0 = _pad_lengths(lengths, N)
     rc0 = jnp.zeros(N, jnp.int32)
     om0 = jnp.zeros((N, R + 2), jnp.bool_)
     or0 = jnp.zeros((N, R + 2), jnp.int32)
@@ -65,8 +103,7 @@ def qmap_walk_device(dirs, lengths):
     def step(carry):
         col, row, rc, om, orow, it = carry
         active = col > 0
-        idx = jnp.clip((col - 1) * L1 + row, 0, R * L1 - 1)
-        d = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0].astype(jnp.int32)
+        d = fetch(col, row)
 
         up = active & (rc == 0) & (row > 0) & (d < 0)
         diag = active & (rc == 0) & ~up & (d == 0)
@@ -126,8 +163,8 @@ def query_windows(
     return curstart - 1, curend - 1
 
 
-@jax.jit
-def string_walk_device(dirs, lengths):
+@functools.partial(jax.jit, static_argnames=("plane_layout",))
+def string_walk_device(dirs, lengths, plane_layout: bool = False):
     """Batched on-device replay of the template backtrack -> gapped strings.
 
     The direction tensor stays in HBM; per read only two [T] int16 emission
@@ -138,13 +175,12 @@ def string_walk_device(dirs, lengths):
 
     Returns (a_pos [N, T] int16, b_pos [N, T] int16, ncols [N] int32).
     """
-    R, N, L1 = dirs.shape
-    flat = dirs.transpose(1, 0, 2).reshape(N, R * L1)
+    R, N, L1, fetch = _dir_fetch(dirs, plane_layout)
     T = R + L1 + 1
     narr = jnp.arange(N)
 
     col0 = jnp.full(N, R, jnp.int32)
-    row0 = jnp.asarray(lengths, jnp.int32)
+    row0 = _pad_lengths(lengths, N)
     z = jnp.zeros(N, jnp.int32)
     oa0 = jnp.zeros((N, T + 1), jnp.int16)
     ob0 = jnp.zeros((N, T + 1), jnp.int16)
@@ -158,8 +194,7 @@ def string_walk_device(dirs, lengths):
     def step(c):
         col, row, rc, uc, t, oa, ob, it = c
         active = jnp.logical_or(col > 0, row > 0)
-        idx = jnp.clip((col - 1) * L1 + row, 0, R * L1 - 1)
-        d = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0].astype(jnp.int32)
+        d = fetch(col, row)
 
         fresh = active & (rc == 0) & (uc == 0)
         tailq = fresh & (col == 0)  # i exhausted: trailing query columns

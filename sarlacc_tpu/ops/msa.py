@@ -287,6 +287,17 @@ def _compact_jmat(jmat: np.ndarray, n: int) -> list:
     return out
 
 
+#: Max bytes of queued-but-uncollected pair-DP direction tensors.
+PAIR_INFLIGHT_BUDGET = 3 << 30
+
+
+def _bkt_pow2(x: int, base: int) -> int:
+    b = base
+    while b < x:
+        b *= 2
+    return b
+
+
 def _pair_chunk(rows_b: int, W_b: int, budget: int = 1 << 30) -> int:
     """Max pairs per banded-DP launch so the [rows, P, W] int8 direction
     tensor stays under ``budget`` bytes — one unchunked 50k-pair bucket at
@@ -469,7 +480,24 @@ def banded_pair_align(
     dpstat = get_profiler().stages.setdefault(stage, StageStats())
     dpstat.items += P
     dpstat.cells += int((rows_c.astype(np.int64) * W_c).sum())
-    inflight = []
+    from ..utils.profiling import profiler as _prof
+
+    def _collect(item):
+        idx, sc_dev, jmat_dev, _ = item
+        with _prof("msa.pair_walk"):
+            scores[idx] = np.asarray(sc_dev, np.float64)[: idx.size]
+            pt = _compact_jmat(np.asarray(jmat_dev), idx.size)
+            for k, i in enumerate(idx):
+                paths[i] = pt[k]
+
+    # Byte-budgeted in-flight window: PJRT allocates every queued launch's
+    # output/intermediate buffers at ENQUEUE time, so dispatching all
+    # buckets before any readback holds every bucket's [rows, P, W]
+    # direction tensor at once (~1 GiB each — the 10k-read pipeline OOMed
+    # exactly here).  Collecting the oldest bucket blocks until its walk
+    # ran, which frees its dirs and everything queued before it.
+    inflight: list = []
+    inflight_bytes = 0
     for key in sorted(set(zip(rows_c.tolist(), W_c.tolist()))):
         idx = np.flatnonzero((rows_c == key[0]) & (W_c == key[1]))
         for c0 in range(0, idx.size, _pair_chunk(int(key[0]), int(key[1]))):
@@ -479,15 +507,14 @@ def banded_pair_align(
                 lo[sub], hi[sub], match, mismatch, gap_open, gap_ext,
                 bandwidth, int(key[0]), int(key[1]),
             )
-            inflight.append((sub, sc_dev, jmat_dev))
-    from ..utils.profiling import profiler as _prof
-
-    with _prof("msa.pair_walk"):
-        for idx, sc_dev, jmat_dev in inflight:
-            scores[idx] = np.asarray(sc_dev, np.float64)[: idx.size]
-            pt = _compact_jmat(np.asarray(jmat_dev), idx.size)
-            for k, i in enumerate(idx):
-                paths[i] = pt[k]
+            nbytes = int(key[0]) * _bkt_pow2(sub.size, 8) * int(key[1])
+            inflight.append((sub, sc_dev, jmat_dev, nbytes))
+            inflight_bytes += nbytes
+            while inflight_bytes > PAIR_INFLIGHT_BUDGET and len(inflight) > 1:
+                inflight_bytes -= inflight[0][3]
+                _collect(inflight.pop(0))
+    for item in inflight:
+        _collect(item)
     return scores, paths
 
 
@@ -695,46 +722,66 @@ def _merge_walk_kernel(dirs, lens_a, lens_b, lo):
     return _blocked_row_scan(row_step, init, dirs, rows, P)
 
 
-@functools.partial(jax.jit, static_argnames=("P", "rows", "width", "E", "S"))
-def _merge_from_library_kernel(
+@functools.partial(jax.jit, static_argnames=("P", "rows", "width"))
+def _merge_cost_init(la, kmax, P: int, rows: int, width: int):
+    """NEG outside the band/live rows, 0 inside — the DP's blank planes."""
+    karr = jnp.arange(width, dtype=jnp.int32)
+    in_band = karr[None, None, :] <= kmax[:, None, None]
+    live_rows = (
+        jnp.arange(1, rows + 1, dtype=jnp.int32)[None, :, None]
+        <= la[:, None, None]
+    )
+    return jnp.where(in_band & live_rows, 0.0, jnp.float32(NEG)) * jnp.ones(
+        (P, 1, 1), jnp.float32
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("EC",))
+def _merge_accum_kernel(
     lib_tab,  # [T, 3] uint16 device library rows (pa, pb, wq), uploaded once
     w_inv,  # uint16 weight dequantization factor
-    seg_tab,  # [S, 9] int32: start, cum, len, merge, aoff, boff, swap, lo, kmax
-    seg_cum,  # [S] int32 (duplicated from seg_tab for the seg_id count)
+    cost,  # [P, rows, width] f32 accumulator (donated)
+    seg_bound,  # [S] int32 absolute start entry of each segment
+    seg_delta,  # [7, S] int32 first-difference table: off, m, aoff, boff,
+    #             swap, lo, kmax (value of segment i = prefix sum of deltas)
     p2ca, p2cb,  # flat position->column maps (0 = unmapped), int16
-    la, lb, lo, kmax,  # [P]
-    P: int, rows: int, width: int, E: int, S: int,
+    total,  # scalar int32 device: real entry count
+    e0,  # scalar int32 device: this chunk's first entry
+    EC: int,
 ):
-    """Build the wave's cost planes on device by scattering library entries
-    through the profiles' position->column maps, then run the merge DP and
-    the device walk.  Per-wave host->device traffic is only the small
-    segment/column-map arrays — the library itself never re-uploads.
+    """Accumulate one chunk of library entries into the wave's cost planes.
 
-    Per-entry lookups are deliberately TWO row gathers (one [E, 9] segment
-    row, one [E, 3] library row) plus the two map gathers: scalar gathers
-    cost ~15-20 ns/element on TPU, so folding ten of them into row gathers
-    is the difference between ~85 ms and ~30 ms per wave launch.
+    Per-segment data is piecewise-constant over the entry axis, so instead
+    of a per-entry row gather (an [E, 9] int32 gather pads its minor axis to
+    128 lanes — 14x memory, which OOMed a 16 GB chip at E = 33M) each
+    quantity is rebuilt with ONE boundary scatter + a lane-wise cumsum:
+    deltas land at each segment's chunk-relative start (clamped to 0 for
+    segments starting before the chunk, dropped past its end) and prefix-sum
+    to the per-entry value.  O(S + EC) with no gather; the only per-entry
+    gathers left are the [EC, 3] library row gather and the two map
+    lookups, all bounded by the chunk size.
+
+    Entry ``e``'s library row is ``t = off_seg + e`` (entries of a segment
+    are contiguous in the table), and its cost contribution lands at
+    ``cost[m, ci - 1, cj - ci - lo]`` through the position->column maps.
     """
-    e = jnp.arange(E, dtype=jnp.int32)
-    # seg_id via boundary scatter + prefix sum: O(E + S), vs O(E*S) for a
-    # comparison count and a gather-heavy binary-search loop for XLA's
-    # searchsorted.  Segment i covers entries [seg_cum[i-1], seg_cum[i]);
-    # dropping a 1 at each segment's end and cumsumming counts, at entry e,
-    # exactly #{i : seg_cum[i] <= e} — zero-length (padded) segments stack
-    # their boundaries and are skipped, matching the comparison count.
-    starts = jnp.zeros(E, jnp.int32).at[seg_cum[:-1]].add(1, mode="drop")
-    seg_id = jnp.clip(jnp.cumsum(starts), 0, S - 1).astype(jnp.int32)
-    seg = seg_tab[seg_id]  # [E, 9] one row gather for all per-segment data
-    s_start, s_cum, s_len = seg[:, 0], seg[:, 1], seg[:, 2]
-    m, s_aoff, s_boff = seg[:, 3], seg[:, 4], seg[:, 5]
-    sw, lo_m, kmax_m = seg[:, 6] == 1, seg[:, 7], seg[:, 8]
+    P, rows, width = cost.shape
+    S = seg_bound.shape[0]
+    e = e0 + jnp.arange(EC, dtype=jnp.int32)
+    b = seg_bound - e0  # chunk-relative boundary of each segment
+    bpos = jnp.where(b >= EC, EC, jnp.maximum(b, 0))  # EC drops via mode
+    qidx = jnp.repeat(jnp.arange(7, dtype=jnp.int32), S)
+    arr = jnp.zeros((7, EC), jnp.int32).at[
+        qidx, jnp.tile(bpos, 7)
+    ].add(seg_delta.reshape(-1), mode="drop")
+    vals = jnp.cumsum(arr, axis=1)  # [7, EC]
+    off, m, s_aoff, s_boff = vals[0], vals[1], vals[2], vals[3]
+    sw, lo_m, kmax_m = vals[4] == 1, vals[5], vals[6]
 
-    base = s_cum - s_len
-    t = jnp.clip(s_start + e - base, 0, lib_tab.shape[0] - 1)
-    total = seg_cum[S - 1]
+    t = jnp.clip(off + e, 0, lib_tab.shape[0] - 1)
     valid_e = e < total
 
-    lr = lib_tab[t].astype(jnp.int32)  # [E, 3] one row gather per entry
+    lr = lib_tab[t].astype(jnp.int32)  # [EC, 3] one row gather per entry
     pa_raw, pb_raw, wq = lr[:, 0], lr[:, 1], lr[:, 2]
     pa_e = jnp.where(sw, pb_raw, pa_raw)  # position on the A-side member
     pb_e = jnp.where(sw, pa_raw, pb_raw)
@@ -751,20 +798,26 @@ def _merge_from_library_kernel(
         & (k < width)
         & (ci <= rows)
     )
-    cost = jnp.full((P, rows, width), NEG, jnp.float32)
-    # Initialize the valid in-band region to 0 so the DP sees real zeros.
-    karr = jnp.arange(width, dtype=jnp.int32)
-    in_band = karr[None, None, :] <= kmax[:, None, None]
-    live_rows = jnp.arange(1, rows + 1, dtype=jnp.int32)[None, :, None] <= la[:, None, None]
-    cost = jnp.where(in_band & live_rows, 0.0, cost)
-    cost = cost.at[
+    return cost.at[
         jnp.where(ok, m, P),
         jnp.clip(ci - 1, 0, rows - 1),
         jnp.clip(k, 0, width - 1),
     ].add(jnp.where(ok, w_e, 0.0), mode="drop")
 
-    _, dirs = _profile_merge_kernel(cost, la, lb, lo, kmax, rows=rows, width=width)
+
+@jax.jit
+def _merge_dp_walk(cost, la, lb, lo, kmax):
+    """Banded merge DP + device walk over finished cost planes."""
+    P, rows, width = cost.shape
+    _, dirs = _profile_merge_kernel(
+        cost, la, lb, lo, kmax, rows=rows, width=width
+    )
     return _merge_walk_kernel(dirs, la, lb, lo)
+
+
+#: Entries per _merge_accum_kernel launch: bounds the chunk's per-entry
+#: temporaries ([EC, 3]-row-gather padding included) to a few hundred MB.
+MERGE_ENTRY_CHUNK = 1 << 21
 
 
 def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
@@ -811,41 +864,56 @@ def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
 
     # int32 throughout: TPU emulates int64, and every quantity (library
     # offsets < ~100M, map offsets, lengths) fits comfortably in 31 bits.
-    # One [S, 9] table (start, cum, len, merge, aoff, boff, swap, lo, kmax)
-    # keeps the kernel's per-entry segment lookup to a single row gather.
+    # Per-segment values travel as a first-difference table: the accumulate
+    # kernel rebuilds them per entry with one scatter + cumsum (no row
+    # gather — see _merge_accum_kernel).
     S = _bkt(max(len(segs), 1), 8)
-    seg_tab = np.zeros((S, 9), np.int32)
+    vals = np.zeros((7, S), np.int32)  # off, m, aoff, boff, sw, lo, kmax
+    bound = np.zeros(S, np.int32)
+    at = 0
     for i, (st, ln, m, ao, bo, sw) in enumerate(segs):
-        seg_tab[i, 0] = st
-        seg_tab[i, 2] = ln
-        seg_tab[i, 3] = m
-        seg_tab[i, 4] = ao
-        seg_tab[i, 5] = bo
-        seg_tab[i, 6] = sw
-        seg_tab[i, 7] = lo[m]
-        seg_tab[i, 8] = kmax[m]
-    seg_cum = np.cumsum(seg_tab[:, 2], dtype=np.int32)
-    seg_tab[:, 1] = seg_cum
+        bound[i] = at
+        vals[:, i] = (st - at, m, ao, bo, sw, lo[m], kmax[m])
+        at += ln
+    total = at
+    if len(segs) < S:  # padded segments: zero-length, stacked at the end
+        bound[len(segs):] = total
+        vals[:, len(segs):] = vals[:, len(segs) - 1 : len(segs)] if segs else 0
+    seg_delta = np.concatenate(
+        [vals[:, :1], np.diff(vals, axis=1)], axis=1
+    ).astype(np.int32)
 
-    p2ca = np.concatenate(p2ca_parts) if p2ca_parts else np.zeros(1, np.int32)
-    p2cb = np.concatenate(p2cb_parts) if p2cb_parts else np.zeros(1, np.int32)
-    E = _bkt(max(int(seg_cum[-1]), 1), 1024)
+    def _cat_pad(parts):
+        # pow2-padded so the accumulate kernel compiles a bounded program set
+        flat = np.concatenate(parts) if parts else np.zeros(1, np.int32)
+        out = np.zeros(_bkt(max(flat.size, 1), 1024), np.int16)
+        out[: flat.size] = flat
+        return out
+
+    p2ca = _cat_pad(p2ca_parts)
+    p2cb = _cat_pad(p2cb_parts)
 
     from ..utils.profiling import profiler as _prof
 
     with _prof("msa.merge_upload"):
         # Column maps are the per-wave transfer; int16 halves them (column
         # indices are bounded by the merged profile width << 32767).
-        p2ca_dev = jnp.asarray(p2ca.astype(np.int16))
-        p2cb_dev = jnp.asarray(p2cb.astype(np.int16))
+        p2ca_dev = jnp.asarray(p2ca)
+        p2cb_dev = jnp.asarray(p2cb)
+        bound_dev = jnp.asarray(bound)
+        delta_dev = jnp.asarray(seg_delta)
+        total_dev = jnp.asarray(total, jnp.int32)
     with _prof("msa.merge_dispatch"):
-        return _merge_from_library_kernel(
-            *lib_dev,
-            jnp.asarray(seg_tab), jnp.asarray(seg_cum),
-            p2ca_dev, p2cb_dev,
-            jnp.asarray(la), jnp.asarray(lb), jnp.asarray(lo), jnp.asarray(kmax),
-            P=Pp, rows=rows_b, width=W_b, E=E, S=S,
-        )
+        la_d, lb_d = jnp.asarray(la), jnp.asarray(lb)
+        lo_d, km_d = jnp.asarray(lo), jnp.asarray(kmax)
+        cost = _merge_cost_init(la_d, km_d, P=Pp, rows=rows_b, width=W_b)
+        EC = min(_bkt(max(total, 1), 1 << 12), MERGE_ENTRY_CHUNK)
+        for c0 in range(0, max(total, 1), EC):
+            cost = _merge_accum_kernel(
+                *lib_dev, cost, bound_dev, delta_dev, p2ca_dev, p2cb_dev,
+                total_dev, jnp.asarray(c0, jnp.int32), EC=EC,
+            )
+        return _merge_dp_walk(cost, la_d, lb_d, lo_d, km_d)
 
 
 # ---------------------------------------------------------------------------
@@ -913,20 +981,11 @@ def pair_maps_device(
     if J == 0:
         return arena, stride, np.zeros(0, np.float64)
 
-    inflight = []
-    for key in sorted(set(zip(rows_c.tolist(), W_c.tolist()))):
-        idx = np.flatnonzero((rows_c == key[0]) & (W_c == key[1]))
-        for c0 in range(0, idx.size, _pair_chunk(int(key[0]), int(key[1]))):
-            sub = idx[c0 : c0 + _pair_chunk(int(key[0]), int(key[1]))]
-            _, jmat_dev, ident_dev = _run_pair_bucket(
-                codes_a[sub], lens_a[sub], codes_b[sub], lens_b[sub],
-                lo[sub], hi[sub], match, mismatch, gap_open, gap_ext,
-                bandwidth, int(key[0]), int(key[1]),
-            )
-            inflight.append((sub, int(key[0]), jmat_dev, ident_dev))
-
     fracs = np.zeros(J, np.float64)
-    for idx, rows_b, jmat_dev, ident_dev in inflight:
+
+    def _place(item):
+        nonlocal arena
+        idx, rows_b, jmat_dev, ident_dev, _ = item
         Pb = jmat_dev.shape[1]
         fr = np.full(Pb, R, np.int32)  # pad rows land out of bounds -> drop
         rr = np.full(Pb, R, np.int32)
@@ -936,6 +995,29 @@ def pair_maps_device(
             arena, jmat_dev, jnp.asarray(fr), jnp.asarray(rr), rows=rows_b
         )
         fracs[idx] = np.asarray(ident_dev, np.float64)[: idx.size]
+
+    # Byte-budgeted in-flight window — see banded_pair_align: queued
+    # launches hold their [rows, P, W] dirs from enqueue until their walk
+    # runs, so an unbounded dispatch loop OOMs at ~10k-read scale.
+    inflight: list = []
+    inflight_bytes = 0
+    for key in sorted(set(zip(rows_c.tolist(), W_c.tolist()))):
+        idx = np.flatnonzero((rows_c == key[0]) & (W_c == key[1]))
+        for c0 in range(0, idx.size, _pair_chunk(int(key[0]), int(key[1]))):
+            sub = idx[c0 : c0 + _pair_chunk(int(key[0]), int(key[1]))]
+            _, jmat_dev, ident_dev = _run_pair_bucket(
+                codes_a[sub], lens_a[sub], codes_b[sub], lens_b[sub],
+                lo[sub], hi[sub], match, mismatch, gap_open, gap_ext,
+                bandwidth, int(key[0]), int(key[1]),
+            )
+            nbytes = int(key[0]) * _bkt_pow2(sub.size, 8) * int(key[1])
+            inflight.append((sub, int(key[0]), jmat_dev, ident_dev, nbytes))
+            inflight_bytes += nbytes
+            while inflight_bytes > PAIR_INFLIGHT_BUDGET and len(inflight) > 1:
+                inflight_bytes -= inflight[0][4]
+                _place(inflight.pop(0))
+    for item in inflight:
+        _place(item)
     return arena, stride, fracs
 
 

@@ -40,6 +40,8 @@ __all__ = [
     "fit_scores_pallas",
     "build_cost_planes",
     "fit_scores_from_planes",
+    "fit_dirs_pallas",
+    "dirs_pallas_ok",
     "pallas_available",
     "plane_dims",
 ]
@@ -152,6 +154,261 @@ def _kernel(modes_ref, mask_ref, scal_ref, costm_ref, costmm_ref, codes_ref, out
 
         jax.lax.fori_loop(0, rlen, column, 0)
     out_ref[:] = s_ref[:]
+
+
+def _dir_kernel(
+    modes_ref, mask_ref, scal_ref, costm_ref, costmm_ref, codes_ref,
+    out_ref, dirs_ref, s_ref, h_ref, wl_ref, ljp_ref, *, rlen, l1, local,
+):
+    """Direction-emitting variant of :func:`_kernel` (VERDICT r2 #4).
+
+    Emits the reference's run-length direction encoding (0 diagonal, +k
+    left-run, -k up-run — reference_align.cpp:126-174) per column into
+    ``dirs_ref [rlen, l1, LANES]`` int16, bit-identical to the ``lax.scan``
+    path in :mod:`.align` (same tie rules: the horizontal/vertical *jump*
+    wins only if strictly greater, reproduced as ``cand >= jump``).  The
+    up-run lengths are reconstructed post-hoc from the prefix-max exactly as
+    in :mod:`.align`'s derivation: ``cond_v[i] = (S[i-1] - open_or_ext) >=
+    (V[i-1] - ext)`` marks rows where the vertical gap does NOT extend a
+    jump, and a row-axis prefix-max of those row indices gives each row's
+    jump point.
+    """
+    go = scal_ref[0] + scal_ref[1]
+    ge = scal_ref[1]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (l1, LANES), 0)
+    rows_f = rows.astype(jnp.float32)
+    masks = {}
+    sh = 1
+    while sh < l1:
+        masks[sh] = rows < sh
+        sh *= 2
+    row0 = masks[1]
+    rge = rows_f * ge
+    rge1 = (rows_f - 1.0) * ge
+
+    def shift1(x, sh, fill=NEG):
+        rolled = pltpu.roll(x, sh, axis=0)
+        return jnp.where(masks[sh], fill, rolled)
+
+    if local:
+        s_ref[:] = jnp.zeros((l1, LANES), jnp.float32)
+    else:
+        ramp = -go - rge1
+        s_ref[:] = jnp.where(row0, 0.0, ramp)
+    h_ref[:] = jnp.full((l1, LANES), NEG, jnp.float32)
+    wl_ref[:] = jnp.zeros((l1, LANES), jnp.int32)
+    ljp_ref[:] = jnp.zeros((l1, LANES), jnp.int32)
+
+    codes = codes_ref[:]
+
+    def column_body(j, zero_vgap):
+        S = s_ref[:]
+        H = h_ref[:]
+        was_left = wl_ref[:]
+        ljp = ljp_ref[:]
+        mode = modes_ref[j]
+        vgo = 0.0 if zero_vgap else go
+        vge = 0.0 if zero_vgap else ge
+
+        cm = costm_ref[mode - 1]
+        cmm = costmm_ref[mode - 1]
+        sel = jax.lax.shift_right_logical(
+            jnp.broadcast_to(mask_ref[j], codes.shape), codes
+        ) & 1
+        cost = jnp.where(sel == 1, cm, cmm)
+
+        M = shift1(S, 1) + cost
+
+        # Horizontal gap with jump bookkeeping (reference_align.cpp:126-140):
+        # the open candidate charges only the extension when the source
+        # cell's own direction was a left step.
+        cand1_h = S - jnp.where(was_left == 1, ge, go)
+        jump_h = H - ge
+        cond_h = cand1_h >= jump_h
+        Hn = jnp.where(cond_h, cand1_h, jump_h)
+
+        mv = jnp.maximum(M, Hn)
+        if zero_vgap:
+            cum = mv
+        else:
+            cum = (mv - go) + rge
+        sh = 1
+        while sh < l1:
+            cum = jnp.maximum(cum, shift1(cum, sh))
+            sh *= 2
+        V = shift1(cum, 1)
+        if not zero_vgap:
+            V = V - rge1
+
+        Sn0 = jnp.maximum(mv, V)
+        Sn = jnp.where(row0, Hn, Sn0)
+
+        # Choice + tie-breaks (reference_align.cpp:162-174).
+        is_diag = (M > Hn) & (M > V)
+        is_left = (~is_diag) & (Hn > V)
+
+        # Left-run lengths: pos = j (0-based reference position).
+        pos = j
+        left_step = jnp.where(cond_h, 1, 1 + pos - ljp)
+        ljp_ref[:] = jnp.where(cond_h, pos, ljp)
+
+        # Up-run lengths, reconstructed post-hoc (see .align).
+        is_up = ~(is_diag | is_left)
+        is_up_prev = shift1(is_up.astype(jnp.int32), 1, 0) == 1
+        cand1_v = shift1(Sn, 1) - jnp.where(is_up_prev, vge, vgo)
+        jump_v = shift1(V, 1) - vge
+        cond_v = cand1_v >= jump_v
+        pnt = jnp.where(cond_v, rows, 0)
+        sh = 1
+        while sh < l1:
+            pnt = jnp.maximum(pnt, shift1(pnt, sh, 0))
+            sh *= 2
+        pnt_prev = shift1(pnt, 1, 0)
+        up_step = jnp.where(cond_v, 1, 1 + rows - pnt_prev)
+
+        dir_enc = jnp.where(
+            is_diag, 0, jnp.where(is_left, left_step, -up_step)
+        )
+        # Row 0 is always a single left step (reference_align.cpp:122-123).
+        dir_enc = jnp.where(row0, 1, dir_enc).astype(jnp.int16)
+        dirs_ref[pl.ds(j, 1)] = dir_enc[None]
+
+        s_ref[:] = Sn
+        h_ref[:] = Hn
+        wl_ref[:] = jnp.where(row0, 1, is_left.astype(jnp.int32))
+
+    if local and rlen >= 1:
+        def column(j, _):
+            column_body(j, False)
+            return 0
+
+        jax.lax.fori_loop(0, rlen - 1, column, 0)
+        column_body(rlen - 1, True)
+    else:
+        def column(j, _):
+            column_body(j, False)
+            return 0
+
+        jax.lax.fori_loop(0, rlen, column, 0)
+    out_ref[:] = s_ref[:]
+
+
+def dirs_pallas_ok(rlen: int, L: int, vmem_budget: int = 10 << 20) -> bool:
+    """Whether the direction kernel's per-tile VMEM footprint fits.
+
+    dirs block [R, l1, 128] int16 + planes [2, 4, l1, 128] f32 + 4 f32/i32
+    scratch planes; ~16 MB/core VMEM total, leave slack for double buffers.
+    """
+    l1 = _dir_l1(L)
+    per_tile = (
+        rlen * l1 * LANES * 2  # dirs block
+        + 2 * 4 * l1 * LANES * 4  # cost planes
+        + 5 * l1 * LANES * 4  # codes + S/H/wl/ljp scratch
+    )
+    return per_tile <= vmem_budget
+
+
+def _dir_l1(L: int) -> int:
+    """Sublane-aligned DP height for the int16 dirs block ((16, 128) native
+    int16 tiling -> keep l1 a multiple of 32 for clean packing)."""
+    return ((L + 1 + 31) // 32) * 32
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rlen", "l1", "n_pad", "local", "interpret")
+)
+def _launch_dirs(modes, mask, scalars, costm, costmm, codes_k, lengths,
+                 rlen: int, l1: int, n_pad: int, local: bool, interpret: bool):
+    grid = (n_pad // LANES,)
+    kern = functools.partial(_dir_kernel, rlen=rlen, l1=l1, local=local)
+    scores, dirs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # modes [R]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # mask [R]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [2]
+            pl.BlockSpec((4, l1, LANES), lambda t: (0, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, l1, LANES), lambda t: (0, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l1, LANES), lambda t: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((l1, LANES), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (rlen, l1, LANES), lambda t: (0, 0, t), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((l1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((rlen, l1, n_pad), jnp.int16),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((l1, LANES), jnp.float32),
+            pltpu.VMEM((l1, LANES), jnp.float32),
+            pltpu.VMEM((l1, LANES), jnp.int32),
+            pltpu.VMEM((l1, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(modes, mask, scalars, costm, costmm, codes_k)
+    n = lengths.shape[0]
+    final = jnp.take_along_axis(
+        scores[:, :n], lengths.astype(jnp.int32)[None, :], axis=0
+    )[0]
+    return final, dirs
+
+
+def fit_dirs_pallas(
+    codes,  # [N, L] int8/int32 (device ok)
+    qidx,  # [N, L] int8/int32
+    lengths,  # [N] int32
+    modes,  # [R] int32 host
+    matched,  # [R, 5] bool host
+    match_tab,
+    mismatch_tab,
+    gap_opening: float,
+    gap_extension: float,
+    local: bool = True,
+    interpret: bool | None = None,
+):
+    """Scores + run-length direction planes via the Pallas kernel.
+
+    Returns (scores [N] f32 device, dirs [R, l1, n_pad] int16 device, l1).
+    The dirs layout is the kernel-native plane layout (read positions on
+    sublanes, reads on lanes); the device walks in :mod:`.backtrack` accept
+    it via ``plane_layout=True``.
+    """
+    if interpret is None:
+        interpret = not pallas_available()
+    N, L = codes.shape
+    l1 = _dir_l1(L)
+    _, n_pad = plane_dims(N, L)
+    planes = build_cost_planes(
+        jnp.asarray(codes, jnp.int8),
+        jnp.asarray(qidx, jnp.int8),
+        jnp.asarray(match_tab, jnp.float32),
+        jnp.asarray(mismatch_tab, jnp.float32),
+        l1=l1,
+        n_pad=n_pad,
+    )
+    costm, costmm, codes_k = planes
+    R = int(np.asarray(modes).shape[0])
+    scalars = jnp.asarray([float(gap_opening), float(gap_extension)], jnp.float32)
+    scores, dirs = _launch_dirs(
+        jnp.asarray(np.asarray(modes, np.int32)),
+        jnp.asarray(_encode_mask(np.asarray(matched))),
+        scalars,
+        costm,
+        costmm,
+        codes_k,
+        jnp.asarray(lengths, jnp.int32),
+        rlen=R,
+        l1=l1,
+        n_pad=n_pad,
+        local=local,
+        interpret=bool(interpret),
+    )
+    return scores, dirs, l1
 
 
 def _encode_mask(matched: np.ndarray) -> np.ndarray:

@@ -15,6 +15,7 @@ from sarlacc_tpu.core.encode import SeqBatch
 from sarlacc_tpu.ops.align import dp_align, prepare_reads
 from sarlacc_tpu.ops.pallas_align import (
     build_cost_planes,
+    fit_dirs_pallas,
     fit_scores_from_planes,
     fit_scores_pallas,
     plane_dims,
@@ -50,6 +51,50 @@ def test_pallas_scores_match_scan(rng, local, ref, go, ge):
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want).astype(np.float32), rtol=0, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("local", [True, False])
+def test_pallas_dirs_match_scan(rng, local):
+    """The direction-emitting kernel reproduces the scan path's run-length
+    directions bit-for-bit (same tie rules), and the device walks give
+    identical query maps / gapped strings from the plane layout."""
+    from sarlacc_tpu.ops.backtrack import qmap_walk_device, string_walk_device
+
+    ad = prepare_adaptor(ADAPTOR)
+    batch = _batch(rng, n=19, minl=0, maxl=50)
+    codes, qidx, lengths = prepare_reads(batch, ad.tables)
+    want_scores, want_dirs = dp_align(
+        codes, qidx, lengths, ad.modes, ad.matched, ad.match_tab,
+        ad.mismatch_tab, 5.0, 1.0, local=local, need_directions=True,
+    )
+    got_scores, got_dirs, l1 = fit_dirs_pallas(
+        np.asarray(codes), np.asarray(qidx), np.asarray(lengths),
+        ad.modes, ad.matched, ad.match_tab, ad.mismatch_tab,
+        5.0, 1.0, local=local, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_scores), np.asarray(want_scores).astype(np.float32),
+        rtol=0, atol=2e-4,
+    )
+    R, N, L1 = np.asarray(want_dirs).shape
+    live = np.asarray(got_dirs)[:, :L1, :N].transpose(0, 2, 1)
+    np.testing.assert_array_equal(live, np.asarray(want_dirs))
+
+    om_w, orow_w = qmap_walk_device(want_dirs, lengths)
+    om_g, orow_g = qmap_walk_device(got_dirs, lengths, plane_layout=True)
+    np.testing.assert_array_equal(np.asarray(om_g)[:N], np.asarray(om_w))
+    np.testing.assert_array_equal(np.asarray(orow_g)[:N], np.asarray(orow_w))
+
+    oa_w, ob_w, nc_w = string_walk_device(want_dirs, lengths)
+    oa_g, ob_g, nc_g = string_walk_device(got_dirs, lengths, plane_layout=True)
+    np.testing.assert_array_equal(np.asarray(nc_g)[:N], np.asarray(nc_w))
+    T = min(oa_w.shape[1], oa_g.shape[1])
+    np.testing.assert_array_equal(
+        np.asarray(oa_g)[:N, :T], np.asarray(oa_w)[:, :T]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ob_g)[:N, :T], np.asarray(ob_w)[:, :T]
     )
 
 
