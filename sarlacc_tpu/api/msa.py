@@ -606,6 +606,15 @@ def _build_library_host(
             lib_tab = jnp.concatenate(dev_parts) if len(dev_parts) > 1 else dev_parts[0]
         else:
             lib_tab = jnp.zeros((1, 3), jnp.uint16)
+        # pow2-pad the table: its aval feeds every wave's accumulate kernel,
+        # and an exact size would recompile that kernel per segment.
+        cap = 1 << 16
+        while cap < lib_tab.shape[0]:
+            cap *= 2
+        if cap != lib_tab.shape[0]:
+            lib_tab = jnp.concatenate(
+                [lib_tab, jnp.zeros((cap - lib_tab.shape[0], 3), jnp.uint16)]
+            )
         lib_dev = (lib_tab, np.float32(1.0 / w_scale))
         jax.block_until_ready(lib_tab)
     return lib_dev, pair_seg, idents
@@ -658,18 +667,28 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
         else:
             active.append(gi)
 
+    # Groups too wide for the device extension kernel (slot bucket > 32,
+    # see _device_lib_ok) segment separately: one oversized group must not
+    # drag its whole segment onto the host path.
     segments: list[list[int]] = []
-    cur: list[int] = []
-    cur_bytes = 0
-    for gi in active:
-        b = _group_lib_bytes(lengths, by_group[gi])
-        if cur and cur_bytes + b > _SEGMENT_LIB_BUDGET:
+    for eligible in (True, False):
+        cur: list[int] = []
+        cur_bytes = 0
+        for gi in active:
+            g = by_group[gi].size
+            sl = 2
+            while sl < max(g - 1, 1):
+                sl *= 2
+            if (sl <= 32) != eligible:
+                continue
+            b = _group_lib_bytes(lengths, by_group[gi])
+            if cur and cur_bytes + b > _SEGMENT_LIB_BUDGET:
+                segments.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(gi)
+            cur_bytes += b
+        if cur:
             segments.append(cur)
-            cur, cur_bytes = [], 0
-        cur.append(gi)
-        cur_bytes += b
-    if cur:
-        segments.append(cur)
 
     for seg in segments:
         _msa_segment(

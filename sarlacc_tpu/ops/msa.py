@@ -843,7 +843,7 @@ def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
             b *= 2
         return b
 
-    Pp = _bkt(P, 4)
+    Pp = _bkt(P, 16)  # coarse: the DP scan is latency-, not FLOP-, bound
     la = np.zeros(Pp, np.int32)
     lb = np.zeros(Pp, np.int32)
     lo = np.zeros(Pp, np.int32)
@@ -866,8 +866,11 @@ def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
     # offsets < ~100M, map offsets, lengths) fits comfortably in 31 bits.
     # Per-segment values travel as a first-difference table: the accumulate
     # kernel rebuilds them per entry with one scatter + cumsum (no row
-    # gather — see _merge_accum_kernel).
-    S = _bkt(max(len(segs), 1), 8)
+    # gather — see _merge_accum_kernel).  COARSE pow2 buckets everywhere:
+    # every distinct (S, PM, EC, cost-shape) tuple is a separate remote
+    # compile (~0.5-10 s through the tunnel), and a deep run issues
+    # hundreds of waves — fine buckets made compilation the wall clock.
+    S = _bkt(max(len(segs), 1), 4096)
     vals = np.zeros((7, S), np.int32)  # off, m, aoff, boff, sw, lo, kmax
     bound = np.zeros(S, np.int32)
     at = 0
@@ -883,15 +886,18 @@ def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
         [vals[:, :1], np.diff(vals, axis=1)], axis=1
     ).astype(np.int32)
 
-    def _cat_pad(parts):
-        # pow2-padded so the accumulate kernel compiles a bounded program set
-        flat = np.concatenate(parts) if parts else np.zeros(1, np.int32)
-        out = np.zeros(_bkt(max(flat.size, 1), 1024), np.int16)
-        out[: flat.size] = flat
-        return out
+    def _cat(parts):
+        return np.concatenate(parts) if parts else np.zeros(1, np.int32)
 
-    p2ca = _cat_pad(p2ca_parts)
-    p2cb = _cat_pad(p2cb_parts)
+    p2ca_flat = _cat(p2ca_parts)
+    p2cb_flat = _cat(p2cb_parts)
+    # ONE shared pow2 bucket for both maps: separate buckets cross-multiply
+    # into the accumulate kernel's compile count.
+    PM = _bkt(max(p2ca_flat.size, p2cb_flat.size, 1), 1 << 16)
+    p2ca = np.zeros(PM, np.int16)
+    p2ca[: p2ca_flat.size] = p2ca_flat
+    p2cb = np.zeros(PM, np.int16)
+    p2cb[: p2cb_flat.size] = p2cb_flat
 
     from ..utils.profiling import profiler as _prof
 
@@ -907,7 +913,10 @@ def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
         la_d, lb_d = jnp.asarray(la), jnp.asarray(lb)
         lo_d, km_d = jnp.asarray(lo), jnp.asarray(kmax)
         cost = _merge_cost_init(la_d, km_d, P=Pp, rows=rows_b, width=W_b)
-        EC = min(_bkt(max(total, 1), 1 << 12), MERGE_ENTRY_CHUNK)
+        # Two chunk classes only (compile count): small waves take one 64k
+        # launch, big waves stream 2M chunks (a partial tail chunk wastes
+        # at most ~0.2 s of masked scatter work).
+        EC = (1 << 16) if total <= (1 << 16) else MERGE_ENTRY_CHUNK
         for c0 in range(0, max(total, 1), EC):
             cost = _merge_accum_kernel(
                 *lib_dev, cost, bound_dev, delta_dev, p2ca_dev, p2cb_dev,

@@ -55,10 +55,26 @@ def pallas_available() -> bool:
 
 
 def plane_dims(N: int, L: int) -> tuple[int, int]:
-    """(l1, n_pad): sublane-aligned DP height and lane-padded batch width."""
+    """(l1, n_pad): sublane-aligned DP height and lane-padded batch width.
+
+    ``n_pad`` is a multiple of 512 so one plane build serves every kernel
+    lane-block width (128/256/512 — see ``SCORE_LANE_BLOCK``)."""
     l1 = ((L + 1 + 7) // 8) * 8
-    n_pad = ((N + LANES - 1) // LANES) * LANES
+    n_pad = ((N + 511) // 512) * 512
     return l1, n_pad
+
+
+#: Lanes per score-kernel grid step.  One 128-lane tile is a single serial
+#: dependency chain (the affine recurrence); wider blocks give Mosaic 2-4
+#: independent 128-lane streams per instruction to fill VPU pipeline
+#: stalls.  Overridable for microbenchmarks via SARLACC_SCORE_LB.
+SCORE_LANE_BLOCK = 512
+
+
+def _score_lb() -> int:
+    import os
+
+    return int(os.environ.get("SARLACC_SCORE_LB", SCORE_LANE_BLOCK))
 
 
 def _shift_down(x, sh, fill):
@@ -68,15 +84,15 @@ def _shift_down(x, sh, fill):
     return jnp.where(rows < sh, fill, rolled)
 
 
-def _kernel(modes_ref, mask_ref, scal_ref, costm_ref, costmm_ref, codes_ref, out_ref, s_ref, h_ref, *, rlen, l1, local):
+def _kernel(modes_ref, mask_ref, scal_ref, costm_ref, costmm_ref, codes_ref, out_ref, s_ref, h_ref, *, rlen, l1, local, lanes=LANES):
     go = scal_ref[0] + scal_ref[1]  # gap_open stored as open+extend
     ge = scal_ref[1]
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (l1, LANES), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (l1, lanes), 0)
     rows_f = rows.astype(jnp.float32)
     # Loop-invariant hoists: the shift fill masks (one per log-shift stage),
     # the gap ramps, and the row-0 mask — the column loop body then runs
-    # ~44 vector ops per cell (the roofline denominator in bench.py).
+    # ~42 vector ops per cell (the roofline denominator in bench.py).
     masks = {}
     sh = 1
     while sh < l1:
@@ -84,6 +100,7 @@ def _kernel(modes_ref, mask_ref, scal_ref, costm_ref, costmm_ref, codes_ref, out
         sh *= 2
     row0 = masks[1]
     rge = rows_f * ge  # vertical-gap open ramp
+    rge_go = rge - go  # ... with the opening charge folded in
     rge1 = (rows_f - 1.0) * ge  # and its closing ramp
 
     def shift1(x, sh):
@@ -92,13 +109,13 @@ def _kernel(modes_ref, mask_ref, scal_ref, costm_ref, costmm_ref, codes_ref, out
 
     # Column 0 (reference_align.cpp:65-74).
     if local:
-        s_ref[:] = jnp.zeros((l1, LANES), jnp.float32)
+        s_ref[:] = jnp.zeros((l1, lanes), jnp.float32)
     else:
         ramp = -go - rge1
         s_ref[:] = jnp.where(row0, 0.0, ramp)
-    h_ref[:] = jnp.full((l1, LANES), NEG, jnp.float32)
+    h_ref[:] = jnp.full((l1, lanes), NEG, jnp.float32)
 
-    codes = codes_ref[:]  # (l1, LANES) int32; row i holds read base i-1
+    codes = codes_ref[:]  # (l1, lanes) int32; row i holds read base i-1
 
     def column_body(j, zero_vgap):
         """One reference column; ``zero_vgap`` (static) = fitting-mode last
@@ -124,7 +141,7 @@ def _kernel(modes_ref, mask_ref, scal_ref, costm_ref, costmm_ref, codes_ref, out
         if zero_vgap:
             cum = mv
         else:
-            cum = (mv - go) + rge
+            cum = mv + rge_go
         sh = 1
         while sh < l1:
             cum = jnp.maximum(cum, shift1(cum, sh))
@@ -133,8 +150,9 @@ def _kernel(modes_ref, mask_ref, scal_ref, costm_ref, costmm_ref, codes_ref, out
         if not zero_vgap:
             V = V - rge1
 
+        # Row 0 needs no special case: M and V are exactly NEG there (the
+        # shift fills), so max(mv, V) is already Hn.
         Sn = jnp.maximum(mv, V)
-        Sn = jnp.where(row0, Hn, Sn)
         s_ref[:] = Sn
         h_ref[:] = Hn
 
@@ -440,12 +458,16 @@ def build_cost_planes(codes_in, qidx, match_tab, mismatch_tab, l1: int, n_pad: i
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rlen", "l1", "n_pad", "local", "interpret")
+    jax.jit, static_argnames=("rlen", "l1", "n_pad", "local", "interpret", "lb")
 )
 def _launch_planes(modes, mask, scalars, costm, costmm, codes_k, lengths,
-                   rlen: int, l1: int, n_pad: int, local: bool, interpret: bool):
-    grid = (n_pad // LANES,)
-    kern = functools.partial(_kernel, rlen=rlen, l1=l1, local=local)
+                   rlen: int, l1: int, n_pad: int, local: bool, interpret: bool,
+                   lb: int = 0):
+    lb = lb or _score_lb()
+    while n_pad % lb:
+        lb //= 2
+    grid = (n_pad // lb,)
+    kern = functools.partial(_kernel, rlen=rlen, l1=l1, local=local, lanes=lb)
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -453,15 +475,15 @@ def _launch_planes(modes, mask, scalars, costm, costmm, codes_k, lengths,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # modes [R]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # mask [R]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars [2]
-            pl.BlockSpec((4, l1, LANES), lambda t: (0, 0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, l1, LANES), lambda t: (0, 0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l1, LANES), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, l1, lb), lambda t: (0, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, l1, lb), lambda t: (0, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l1, lb), lambda t: (0, t), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((l1, LANES), lambda t: (0, t), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((l1, lb), lambda t: (0, t), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((l1, n_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((l1, LANES), jnp.float32),
-            pltpu.VMEM((l1, LANES), jnp.float32),
+            pltpu.VMEM((l1, lb), jnp.float32),
+            pltpu.VMEM((l1, lb), jnp.float32),
         ],
         interpret=interpret,
     )(modes, mask, scalars, costm, costmm, codes_k)
@@ -512,6 +534,7 @@ def fit_scores_from_planes(
         n_pad=n_pad,
         local=local,
         interpret=bool(interpret),
+        lb=_score_lb(),
     )
 
 

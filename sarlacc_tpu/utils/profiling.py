@@ -38,10 +38,15 @@ class PipelineProfiler:
         try:
             yield st
         finally:
-            st.seconds += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            st.seconds += dt
             st.calls += 1
             st.items += items
             st.cells += cells
+            if _STAGE_LOG:
+                import sys
+
+                print(f"[stage] {name} +{dt:.3f}s", file=sys.stderr, flush=True)
 
     def report(self) -> str:
         lines = [f"{'stage':<28}{'calls':>7}{'sec':>10}{'items/s':>12}{'GCUPS':>9}"]
@@ -63,6 +68,12 @@ class PipelineProfiler:
         finally:
             jax.profiler.stop_trace()
 
+
+import os as _os
+
+#: SARLACC_STAGE_LOG=1 prints each stage's wall time as it completes —
+#: live observability for long remote-TPU runs.
+_STAGE_LOG = bool(_os.environ.get("SARLACC_STAGE_LOG"))
 
 _GLOBAL = PipelineProfiler()
 
