@@ -43,17 +43,29 @@ NOMINAL_BASELINE_READS_PER_S = 100.0
 
 # Speed-of-light for the score-only Pallas kernel: VPU issue rate =
 # cores x 4 ALUs x (8 sublanes x 128 lanes) x clock, divided by the
-# kernel's static instruction count per DP cell (~44 after the r3 rework:
-# bitmask IUPAC probe 4, affine recurrence 9, log-shift prefix-max over 256
-# sublanes 24 (8 stages x roll+select+max, fill masks hoisted), boundary 3,
-# ramps 2, stores 2 — ops/pallas_align.py:_kernel).  That is the ceiling for
-# THIS instruction stream; roofline_frac is measured device GCUPS against it.
+# kernel's static issue-slot count per DP cell.  Census of the shipped
+# column body (ops/pallas_align.py:_kernel, 4-column unroll so S/H state
+# stays in registers between columns):
+#   IUPAC bitmask probe (splat, >>, &1)            3
+#   cost select (==, vsel)                          2
+#   horizontal gap Hn (2 sub, max)                  3
+#   diagonal M (roll, fill-select, add)             3
+#   mv / ramped cum (max, add — open charge folded) 2
+#   log-shift prefix-max, 8 stages x (roll,sel,max) 24
+#   V close (roll, fill-select, sub)                3
+#   final Sn (max)                                  1
+#   cost-plane loads cm/cmm (dyn-indexed VMEM)      2
+#   state stores S,H                                2
+#   TOTAL                                          45
+# This assumes every op (including cross-sublane rolls and VMEM moves)
+# retires one slot/cycle — the honest static ceiling for THIS instruction
+# stream; roofline_frac is measured device GCUPS against it.
 _VPU_OPS_PER_S = {
     # chip kind -> (TensorCores, clock Hz)
     "v5e": 1 * 4 * (8 * 128) * 1.74e9,  # TPU v5 lite: 1 core @ ~1.74 GHz
     "v5p": 2 * 4 * (8 * 128) * 1.75e9,
 }
-KERNEL_OPS_PER_CELL = 44.0
+KERNEL_OPS_PER_CELL = 45.0
 
 
 def _roofline_gcups() -> float:

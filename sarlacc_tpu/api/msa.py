@@ -479,18 +479,23 @@ def _build_library_device(
             b *= 2
         return b
 
-    classes: dict[int, list[tuple[int, int, int]]] = {}
+    # Chunk classes by (slot bucket, x-length bucket): the composition
+    # gather volume is CP x SL x STRC, so pairs whose left sequence is
+    # short must not pay the segment-wide stride.
+    classes: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
     for pos, gi in enumerate(active):
         g = by_group[gi].size
         sl = _bkt(max(g - 1, 1), 2)
-        classes.setdefault(sl, []).extend(
-            (gi, x, y) for x, y in zip(*np.triu_indices(g, k=1))
-        )
+        for x, y in zip(*np.triu_indices(g, k=1)):
+            strc = min(
+                _bkt(int(lengths[by_group[gi][x]]) + 1, 128), stride
+            )
+            classes.setdefault((sl, strc), []).append((gi, int(x), int(y)))
 
-    CP = 256  # pairs per launch: bounds the [CP, STR, SL] intermediates
+    CP = 256  # pairs per launch: bounds the [CP, STRC, SL] intermediates
     t_cap = sum(
-        ((len(prs) + CP - 1) // CP) * CP * sl * stride
-        for sl, prs in classes.items()
+        ((len(prs) + CP - 1) // CP) * CP * sl * strc
+        for (sl, strc), prs in classes.items()
     )
     t_cap = _bkt(max(t_cap, 1), 1 << 16)  # pow2: one compile per size class
     ncnt = _bkt(len(jobs) + 1, 1024)
@@ -499,8 +504,11 @@ def _build_library_device(
         counts = jnp.zeros(ncnt, jnp.int32)
         out_base = jnp.int32(0)
         order: list[tuple[int, int, int]] = []
-        for sl in sorted(classes):
-            prs = classes[sl]
+        arena_c: dict[int, object] = {stride: arena}
+        for sl, strc in sorted(classes):
+            prs = classes[(sl, strc)]
+            if strc not in arena_c:
+                arena_c[strc] = arena[:, :strc]
             for c0 in range(0, len(prs), CP):
                 chunk = prs[c0 : c0 + CP]
                 order.extend(chunk)
@@ -524,10 +532,11 @@ def _build_library_device(
                         ws[r, s] = min(idents[pos][x, z], idents[pos][z, y]) * 100.0
                         s += 1
                 table, counts, out_base = _extend_chunk_kernel(
-                    arena,
+                    arena, arena_c[strc],
                     jnp.asarray(xz), jnp.asarray(zy), jnp.asarray(ws),
                     table, counts, jnp.asarray(pid), out_base,
-                    np.float32(w_scale), SL=sl, STR=stride, TCAP=t_cap,
+                    np.float32(w_scale), SL=sl, STR=stride, STRC=strc,
+                    TCAP=t_cap,
                 )
         counts_np = np.asarray(counts).astype(np.int64)
 

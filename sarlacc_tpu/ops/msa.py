@@ -154,8 +154,8 @@ def _banded_pair_kernel(
     return scores, dirs
 
 
-@jax.jit
-def _pair_walk_kernel(dirs, lens_a, lens_b, lo):
+@functools.partial(jax.jit, static_argnames=("wp_layout",))
+def _pair_walk_kernel(dirs, lens_a, lens_b, lo, wp_layout: bool = False):
     """Batched on-device Gotoh walk, row-synchronized.
 
     A cell-at-a-time walk pays one big-table gather per step — XLA lowers a
@@ -167,19 +167,40 @@ def _pair_walk_kernel(dirs, lens_a, lens_b, lo):
     ``r`` exactly at scan step ``r`` because every row exit (diag or vert)
     decrements the row by one.
 
+    ``wp_layout=True`` consumes the Pallas pair kernel's native
+    ``[rows, W, P]`` planes directly — transposing them back to
+    ``[rows, P, W]`` costs a full relayout of a ~GiB int8 tensor per bucket.
+
     Returns jmat [rows, P] int32: for DP row i (1-based, stored at i-1) the
     matched B-position j if the path aligned (i, j), else 0 — ascending row
     order is ascending path order.
     """
-    rows, P, W = dirs.shape
+    if wp_layout:
+        rows, W, P = dirs.shape
+    else:
+        rows, P, W = dirs.shape
     lens_a = jnp.asarray(lens_a, jnp.int32)
     lens_b = jnp.asarray(lens_b, jnp.int32)
     lo = jnp.asarray(lo, jnp.int32)
-    karr = jnp.arange(W, dtype=jnp.int32)[None, :]
     k0 = lens_b - lens_a - lo  # band coordinate at (la, lb)
+    if wp_layout:
+        karr = jnp.arange(W, dtype=jnp.int32)[:, None]
 
-    def gather_k(mat, k):
-        return jnp.take_along_axis(mat, jnp.clip(k, 0, W - 1)[:, None], axis=1)[:, 0]
+        def gather_k(mat, k):
+            return jnp.take_along_axis(
+                mat, jnp.clip(k, 0, W - 1)[None, :], axis=0
+            )[0]
+
+        kax = 0
+    else:
+        karr = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+        def gather_k(mat, k):
+            return jnp.take_along_axis(
+                mat, jnp.clip(k, 0, W - 1)[:, None], axis=1
+            )[:, 0]
+
+        kax = 1
 
     def row_step(carry, xs):
         k, st, dead = carry  # st: 0 = S, 2 = V (H never crosses rows)
@@ -199,7 +220,7 @@ def _pair_walk_kernel(dirs, lens_a, lens_b, lo):
         # pz_h[k]: largest k' <= k whose hext is 0 — an H-run starting at k
         # ends one column below that cell (reference semantics: state stays H
         # while the *current* cell's extend bit is set).
-        pz_h = jax.lax.cummax(jnp.where(hext == 0, karr, -1), axis=1)
+        pz_h = jax.lax.cummax(jnp.where(hext == 0, karr, -1), axis=kax)
 
         # V-state pairs: exactly one vertical move this row.
         is_v = act & (st == 2)
@@ -356,7 +377,8 @@ def _run_pair_bucket(
 
     from .pallas_msa import banded_pair_pallas, msa_pallas_available
 
-    if msa_pallas_available():
+    use_pallas = msa_pallas_available()
+    if use_pallas:
         # VMEM-resident Pallas path: pad pairs to a lane multiple.
         PL = 128
         Pq = ((Pp + PL - 1) // PL) * PL
@@ -399,8 +421,10 @@ def _run_pair_bucket(
     # Walk on device; transfer only the per-row matched positions.  The
     # return values are undelivered device arrays — jax dispatch is async,
     # so the caller can queue every bucket before paying any readback.
+    # The Pallas kernel's dirs stay in their native [rows, W, P] layout.
     jmat = _pair_walk_kernel(
-        dirs, jnp.asarray(lens_a_p), jnp.asarray(lens_b_p), jnp.asarray(lo_p)
+        dirs, jnp.asarray(lens_a_p), jnp.asarray(lens_b_p), jnp.asarray(lo_p),
+        wp_layout=use_pallas,
     )
     ident = _pair_ident_kernel(
         jmat, jnp.asarray(codes_a_p, jnp.int32), jnp.asarray(codes_b_p, jnp.int32)
@@ -1057,11 +1081,11 @@ def _arena_place_kernel(arena, jmat, fwd_rows, rev_rows, rows: int):
 
 
 @functools.partial(
-    jax.jit, donate_argnums=(4, 5), static_argnames=("SL", "STR", "TCAP")
+    jax.jit, donate_argnums=(5, 6), static_argnames=("SL", "STR", "STRC", "TCAP")
 )
 def _extend_chunk_kernel(
-    arena, xz_rows, zy_rows, w_slots, table, counts, pair_ids, out_base,
-    w_scale, SL: int, STR: int, TCAP: int,
+    arena, arena_c, xz_rows, zy_rows, w_slots, table, counts, pair_ids,
+    out_base, w_scale, SL: int, STR: int, STRC: int, TCAP: int,
 ):
     """Consistency-extend one chunk of output pairs, writing packed entries.
 
@@ -1071,14 +1095,19 @@ def _extend_chunk_kernel(
     Per (p, a) the <= SL candidate b's sort (tiny lane-wise sort), duplicate
     b's sum their weights, and surviving entries append to ``table`` at a
     running device offset — no host round trip, no dynamic shapes.
+
+    ``arena_c`` is ``arena[:, :STRC]`` (sliced once per chunk class by the
+    caller): the composition volume is CP x SL x STRC, so pairs whose left
+    sequence is short do not pay the segment-wide stride.  ``STR`` remains
+    the full arena row stride for the flat second-hop index.
     """
     CP = xz_rows.shape[0]
-    XZ = arena[xz_rows].astype(jnp.int32)  # [CP, SL, STR] row gather
+    XZ = arena_c[xz_rows].astype(jnp.int32)  # [CP, SL, STRC] row gather
     flat = arena.reshape(-1)
     b = flat[zy_rows[:, :, None] * STR + XZ].astype(jnp.int32)
     b = jnp.where(XZ > 0, b, 0)
 
-    bt = b.transpose(0, 2, 1)  # [CP, STR, SL]
+    bt = b.transpose(0, 2, 1)  # [CP, STRC, SL]
     wt = jnp.broadcast_to(w_slots[:, None, :], bt.shape)
     DEAD = jnp.int32(1) << 20
     key = jnp.where(bt > 0, bt, DEAD)
@@ -1096,10 +1125,10 @@ def _extend_chunk_kernel(
             key_s == key_s[..., j : j + 1], w_live[..., j : j + 1], 0.0
         )
 
-    a_idx = jnp.arange(STR, dtype=jnp.int32)[None, :, None]
+    a_idx = jnp.arange(STRC, dtype=jnp.int32)[None, :, None]
     keep = first & (a_idx > 0)
     flatkeep = keep.reshape(-1)
-    N = CP * STR * SL
+    N = CP * STRC * SL
 
     # Stream compaction.  A direct row scatter of all N candidates costs
     # ~90 ns/row on TPU (it processes dropped updates too); inverting it —
@@ -1108,22 +1137,28 @@ def _extend_chunk_kernel(
     # and turns the table write into a DMA.  Rows past the kept count are
     # garbage; the next chunk overwrites them (or they sit past the final
     # total, never referenced by any segment).
-    dat64 = (
-        (jnp.broadcast_to(a_idx, keep.shape).astype(jnp.int64) << 32)
-        | (key_s.astype(jnp.int64) << 16)
-        | jnp.rint(wsum * w_scale).astype(jnp.int64)
+    #
+    # Packing is TWO int32 words, NOT one int64: without jax x64 (the
+    # default on TPU and bare CPU) ``astype(jnp.int64)`` silently truncates
+    # to int32, so an ``a << 32`` pack would zero the a-column of EVERY
+    # entry — a bug the x64-enabled test suite could never see.
+    hi32 = jnp.broadcast_to(a_idx, keep.shape).reshape(-1)
+    lo32 = (
+        (jnp.where(valid, key_s, 0) << 16)
+        | jnp.rint(wsum * w_scale).astype(jnp.int32)
     ).reshape(-1)
     pos_local = jnp.cumsum(flatkeep.astype(jnp.int32)) - 1
     src = jnp.zeros(N, jnp.int32)
     src = src.at[jnp.where(flatkeep, pos_local, N)].set(
         jnp.arange(N, dtype=jnp.int32), mode="drop"
     )
-    block64 = dat64[src]
+    bhi = hi32[src]
+    blo = lo32[src]
     block = jnp.stack(
         [
-            (block64 >> 32).astype(jnp.uint16),
-            ((block64 >> 16) & 0xFFFF).astype(jnp.uint16),
-            (block64 & 0xFFFF).astype(jnp.uint16),
+            bhi.astype(jnp.uint16),
+            (blo >> 16).astype(jnp.uint16),
+            (blo & 0xFFFF).astype(jnp.uint16),
         ],
         axis=1,
     )

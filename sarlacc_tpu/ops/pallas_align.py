@@ -64,17 +64,29 @@ def plane_dims(N: int, L: int) -> tuple[int, int]:
     return l1, n_pad
 
 
-#: Lanes per score-kernel grid step.  One 128-lane tile is a single serial
-#: dependency chain (the affine recurrence); wider blocks give Mosaic 2-4
-#: independent 128-lane streams per instruction to fill VPU pipeline
-#: stalls.  Overridable for microbenchmarks via SARLACC_SCORE_LB.
-SCORE_LANE_BLOCK = 512
+#: Lanes per score-kernel grid step.  MEASURED (scripts/
+#: microbench_score_kernel.py, v5e, 100k x 250 x R=51): 128 -> 74.9 GCUPS,
+#: 256 -> 59.3, 512 -> 56.3.  One (256, 128) f32 tile is already 32
+#: independent vregs per op — plenty of ILP — while wider blocks double or
+#: quadruple the VMEM working set and starve the grid pipeline's double
+#: buffers.  Overridable for microbenchmarks via SARLACC_SCORE_LB.
+SCORE_LANE_BLOCK = 128
 
 
 def _score_lb() -> int:
     import os
 
     return int(os.environ.get("SARLACC_SCORE_LB", SCORE_LANE_BLOCK))
+
+
+#: Columns per score-kernel loop iteration (loop-overhead amortization).
+SCORE_UNROLL = 4
+
+
+def _score_unroll() -> int:
+    import os
+
+    return int(os.environ.get("SARLACC_SCORE_UNROLL", SCORE_UNROLL))
 
 
 def _shift_down(x, sh, fill):
@@ -84,7 +96,7 @@ def _shift_down(x, sh, fill):
     return jnp.where(rows < sh, fill, rolled)
 
 
-def _kernel(modes_ref, mask_ref, scal_ref, costm_ref, costmm_ref, codes_ref, out_ref, s_ref, h_ref, *, rlen, l1, local, lanes=LANES):
+def _kernel(modes_ref, mask_ref, scal_ref, costm_ref, costmm_ref, codes_ref, out_ref, s_ref, h_ref, *, rlen, l1, local, lanes=LANES, unroll=4):
     go = scal_ref[0] + scal_ref[1]  # gap_open stored as open+extend
     ge = scal_ref[1]
 
@@ -156,21 +168,22 @@ def _kernel(modes_ref, mask_ref, scal_ref, costm_ref, costmm_ref, codes_ref, out
         s_ref[:] = Sn
         h_ref[:] = Hn
 
+    # Fitting mode peels the last column (free vertical gaps,
+    # reference_align.cpp:120-121) so the loop keeps constant penalties;
+    # the remaining columns run ``unroll`` per iteration to amortize loop
+    # overhead (measured v5e, R=51: 1x 74.9 GCUPS, 2x 81.8).
+    full = rlen - 1 if (local and rlen >= 1) else rlen
+
+    def columns(p, _):
+        for u in range(unroll):
+            column_body(unroll * p + u, False)
+        return 0
+
+    jax.lax.fori_loop(0, full // unroll, columns, 0)
+    for j in range((full // unroll) * unroll, full):
+        column_body(j, False)
     if local and rlen >= 1:
-        # Fitting mode: free vertical gaps only in the last reference
-        # column — peel it so the loop body keeps constant penalties.
-        def column(j, _):
-            column_body(j, False)
-            return 0
-
-        jax.lax.fori_loop(0, rlen - 1, column, 0)
         column_body(rlen - 1, True)
-    else:
-        def column(j, _):
-            column_body(j, False)
-            return 0
-
-        jax.lax.fori_loop(0, rlen, column, 0)
     out_ref[:] = s_ref[:]
 
 
@@ -458,16 +471,20 @@ def build_cost_planes(codes_in, qidx, match_tab, mismatch_tab, l1: int, n_pad: i
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rlen", "l1", "n_pad", "local", "interpret", "lb")
+    jax.jit,
+    static_argnames=("rlen", "l1", "n_pad", "local", "interpret", "lb", "unroll"),
 )
 def _launch_planes(modes, mask, scalars, costm, costmm, codes_k, lengths,
                    rlen: int, l1: int, n_pad: int, local: bool, interpret: bool,
-                   lb: int = 0):
+                   lb: int = 0, unroll: int = 0):
     lb = lb or _score_lb()
+    unroll = unroll or _score_unroll()
     while n_pad % lb:
         lb //= 2
     grid = (n_pad // lb,)
-    kern = functools.partial(_kernel, rlen=rlen, l1=l1, local=local, lanes=lb)
+    kern = functools.partial(
+        _kernel, rlen=rlen, l1=l1, local=local, lanes=lb, unroll=unroll
+    )
     out = pl.pallas_call(
         kern,
         grid=grid,

@@ -162,8 +162,8 @@ def _launch(scal, lens_a, lens_b, lo, kmax, codes_a, codes_b, rows, width, inter
     a_plane = a_plane.at[:take, :].set(codes_a.astype(jnp.int32).T[:take])
 
     # b_shift[t, p] = codes_b[p, t + lo_p] (6 = never-matching pad outside).
-    t_idx = jnp.arange(rows + width)
-    src = t_idx[:, None] + lo[0][None, :].astype(jnp.int64)
+    t_idx = jnp.arange(rows + width, dtype=jnp.int32)
+    src = t_idx[:, None] + lo[0][None, :].astype(jnp.int32)
     okm = jnp.logical_and(src >= 0, src < codes_b.shape[1])
     gathered = jnp.take_along_axis(
         codes_b.astype(jnp.int32).T,
@@ -222,7 +222,12 @@ def banded_pair_pallas(
     width: int,
     interpret: bool | None = None,
 ):
-    """Returns (scores [Pp] f32 device, dirs [rows, Pp, W] int8 device)."""
+    """Returns (scores [Pp] f32, dirs [rows, W, Pp] int8, both device).
+
+    The dirs planes stay in the kernel's native [rows, W, P] layout — the
+    walk consumes it directly (``_pair_walk_kernel(wp_layout=True)``);
+    transposing to [rows, P, W] costs a full relayout of a ~GiB tensor.
+    """
     if interpret is None:
         interpret = not msa_pallas_available()
 
@@ -241,5 +246,4 @@ def banded_pair_pallas(
         width=width,
         interpret=bool(interpret),
     )
-    # Walk kernel expects [rows, P, W].
-    return scores, dirs.transpose(0, 2, 1)
+    return scores, dirs

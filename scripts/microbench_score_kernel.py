@@ -61,7 +61,7 @@ def main():
         return (time.time() - t0) / reps
 
     base = None
-    for lb in (128, 256, 512):
+    for lb, unroll in ((128, 1), (128, 2), (128, 4), (128, 8), (256, 4)):
         dt = timeit(
             lambda: pa._launch_planes(
                 jnp.asarray(np.asarray(a1.modes, np.int32)),
@@ -70,14 +70,14 @@ def main():
                 *planes,
                 prep.lengths,
                 rlen=R, l1=l1, n_pad=n_pad, local=True, interpret=False,
-                lb=lb,
+                lb=lb, unroll=unroll,
             )
         )
         if base is None:
             base = dt
         print(
-            f"[score lb={lb}] {dt * 1e3:.2f} ms  {cells / dt / 1e9:.1f} GCUPS"
-            f"  ({base / dt:.2f}x vs lb=128)",
+            f"[score lb={lb} u={unroll}] {dt * 1e3:.2f} ms  "
+            f"{cells / dt / 1e9:.1f} GCUPS  ({base / dt:.2f}x vs first)",
             flush=True,
         )
 

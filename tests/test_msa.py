@@ -150,9 +150,82 @@ def test_pallas_banded_pair_parity(rng):
     )
     np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_pal))
     d_ref = np.asarray(d_ref)
-    d_pal = np.asarray(d_pal)
+    d_pal = np.asarray(d_pal).transpose(0, 2, 1)  # native [rows, W, P]
     live = (np.arange(1, rows + 1)[:, None] <= lens_a[None, :])[:, :, None]
     assert np.array_equal(np.where(live, d_ref, 0), np.where(live, d_pal, 0))
+
+    # The walk consumes the native layout directly (wp_layout).
+    from sarlacc_tpu.ops.msa import _pair_walk_kernel
+    import jax.numpy as jnp2
+
+    jm_ref = _pair_walk_kernel(
+        jnp.asarray(d_ref), jnp.asarray(lens_a), jnp.asarray(lens_b),
+        jnp.asarray(lo),
+    )
+    jm_pal = _pair_walk_kernel(
+        jnp.asarray(np.asarray(d_pal).transpose(0, 2, 1)),
+        jnp.asarray(lens_a), jnp.asarray(lens_b), jnp.asarray(lo),
+        wp_layout=True,
+    )
+    np.testing.assert_array_equal(np.asarray(jm_ref), np.asarray(jm_pal))
+
+
+def test_device_library_without_x64(rng):
+    """Device vs host library parity in DEFAULT (32-bit) jax mode.
+
+    The test suite enables x64 globally (float64 oracles), but the real TPU
+    runs 32-bit — an ``astype(int64)`` there silently truncates, which once
+    zeroed the a-column of every packed device-library entry.  This
+    regression test reruns the parity check in a subprocess without x64.
+    """
+    import subprocess
+    import sys as _sys
+
+    code = r"""
+import os, sys
+sys.path.insert(0, os.getcwd())
+import numpy as np
+from sarlacc_tpu.api.msa import _build_library_device, _build_library_host
+
+rng = np.random.default_rng(7)
+n, L = 9, 120
+codes = rng.integers(0, 4, (n, L)).astype(np.int8)
+mut = rng.random((n, L)) < 0.1
+codes[mut] = rng.integers(0, 4, int(mut.sum()))
+lengths = rng.integers(100, L + 1, n).astype(np.int64)
+by_group = [np.arange(4, dtype=np.int64), np.arange(4, 9, dtype=np.int64)]
+args = (codes, lengths, by_group, [0, 1], 0.0, -1.0, 5.0, 1.0, 20)
+libd, segd, _ = _build_library_device(*args)
+libh, segh, _ = _build_library_host(*args)
+tabd = np.asarray(libd[0]); tabh = np.asarray(libh[0])
+assert set(segd) == set(segh), (sorted(segd), sorted(segh))
+for k in segd:
+    sd, sh = segd[k], segh[k]
+    ed = tabd[sd[0]:sd[0]+sd[1]]; eh = tabh[sh[0]:sh[0]+sh[1]]
+    assert ed.shape == eh.shape, (k, ed.shape, eh.shape)
+    od = np.lexsort((ed[:,1], ed[:,0])); oh = np.lexsort((eh[:,1], eh[:,0]))
+    ed, eh = ed[od], eh[oh]
+    assert np.array_equal(ed[:, :2], eh[:, :2]), k
+    assert np.abs(ed[:,2].astype(int) - eh[:,2].astype(int)).max() <= 1, k
+print("OK")
+"""
+    env = dict(
+        **{k: v for k, v in __import__("os").environ.items()},
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("JAX_ENABLE_X64", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [_sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=__import__("os").path.dirname(
+            __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+        ),
+        timeout=300,
+    )
+    assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-2000:]
 
 
 def test_msa_deterministic(rng):
