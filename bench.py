@@ -177,7 +177,7 @@ def bench_demux(n_reads=100_000, tolerance=250, n_barcodes=12, bc_len=12, seed=3
     )
     from sarlacc_tpu.ops.pallas_align import fit_scores_from_planes
 
-    a1 = prepare_adaptor("ACGCTAGCATCAGTCNNNNCACAGCTACGANNNNNNNNCGTACGCAT")
+    a1 = prepare_adaptor("ACGCTAGCATCAGTCNNNNCACAGCTACGA" + "N" * 12 + "CGTACGCAT")
     a2 = prepare_adaptor("TGCATCGATCGCAT")
     front = _random_reads(n_reads, tolerance, seed)
     back = _random_reads(n_reads, tolerance, seed + 1)
@@ -214,7 +214,7 @@ def bench_demux(n_reads=100_000, tolerance=250, n_barcodes=12, bc_len=12, seed=3
     kargs = (planes, pfront.lengths, a1.modes, a1.matched, 5.0, 1.0)
     out = fit_scores_from_planes(*kargs, l1=l1, n_pad=n_pad)
     jax.block_until_ready(out)
-    reps = 5
+    reps = 10
     t0 = time.time()
     for _ in range(reps):
         out = fit_scores_from_planes(*kargs, l1=l1, n_pad=n_pad)
@@ -276,6 +276,17 @@ def main():
     t_all = time.time()
     configs["pipeline"] = bench_pipeline()
     print(f"[bench] pipeline: {configs['pipeline']}", file=sys.stderr)
+    if os.environ.get("SARLACC_BENCH_FULL"):
+        # Vignette-scale config (BASELINE.json: "~500k reads"): ~50 min on
+        # one v5e chip, so it only runs when explicitly requested.
+        try:
+            configs["pipeline_500k"] = bench_pipeline(n_molecules=47_500)
+            print(
+                f"[bench] pipeline_500k: {configs['pipeline_500k']}",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            configs["pipeline_500k"] = {"error": str(e)[:200]}
     try:
         configs["demux_100k"] = bench_demux()
         print(f"[bench] demux_100k: {configs['demux_100k']}", file=sys.stderr)

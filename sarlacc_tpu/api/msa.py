@@ -479,13 +479,23 @@ def _build_library_device(
             b *= 2
         return b
 
-    # Chunk classes by (slot bucket, x-length bucket): the composition
-    # gather volume is CP x SL x STRC, so pairs whose left sequence is
-    # short must not pay the segment-wide stride.
+    # Chunk classes by (slot bucket, x-length bucket): the composition,
+    # dedup-sort and compaction all scale with CP x SL x STRC, so pairs
+    # whose left sequence is short must not pay the segment-wide stride,
+    # and the slot ladder is finer than pow2 (g-1 = 10, the modal UMI
+    # family size, would waste 37% of every launch at SL = 16).
+    _SL_LADDER = (2, 4, 6, 8, 10, 12, 16, 20, 24, 32)
+
+    def _sl_class(v: int) -> int:
+        for s in _SL_LADDER:
+            if v <= s:
+                return s
+        return _SL_LADDER[-1]
+
     classes: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
     for pos, gi in enumerate(active):
         g = by_group[gi].size
-        sl = _bkt(max(g - 1, 1), 2)
+        sl = _sl_class(max(g - 1, 1))
         for x, y in zip(*np.triu_indices(g, k=1)):
             strc = min(
                 _bkt(int(lengths[by_group[gi][x]]) + 1, 128), stride

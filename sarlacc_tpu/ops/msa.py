@@ -1032,25 +1032,30 @@ def pair_maps_device(
     # Byte-budgeted in-flight window — see banded_pair_align: queued
     # launches hold their [rows, P, W] dirs from enqueue until their walk
     # runs, so an unbounded dispatch loop OOMs at ~10k-read scale.
+    from ..utils.profiling import profiler as _prof
+
     inflight: list = []
     inflight_bytes = 0
     for key in sorted(set(zip(rows_c.tolist(), W_c.tolist()))):
         idx = np.flatnonzero((rows_c == key[0]) & (W_c == key[1]))
         for c0 in range(0, idx.size, _pair_chunk(int(key[0]), int(key[1]))):
             sub = idx[c0 : c0 + _pair_chunk(int(key[0]), int(key[1]))]
-            _, jmat_dev, ident_dev = _run_pair_bucket(
-                codes_a[sub], lens_a[sub], codes_b[sub], lens_b[sub],
-                lo[sub], hi[sub], match, mismatch, gap_open, gap_ext,
-                bandwidth, int(key[0]), int(key[1]),
-            )
+            with _prof("msa.pair_dispatch"):
+                _, jmat_dev, ident_dev = _run_pair_bucket(
+                    codes_a[sub], lens_a[sub], codes_b[sub], lens_b[sub],
+                    lo[sub], hi[sub], match, mismatch, gap_open, gap_ext,
+                    bandwidth, int(key[0]), int(key[1]),
+                )
             nbytes = int(key[0]) * _bkt_pow2(sub.size, 8) * int(key[1])
             inflight.append((sub, int(key[0]), jmat_dev, ident_dev, nbytes))
             inflight_bytes += nbytes
             while inflight_bytes > PAIR_INFLIGHT_BUDGET and len(inflight) > 1:
                 inflight_bytes -= inflight[0][4]
-                _place(inflight.pop(0))
+                with _prof("msa.pair_place"):
+                    _place(inflight.pop(0))
     for item in inflight:
-        _place(item)
+        with _prof("msa.pair_place"):
+            _place(item)
     return arena, stride, fracs
 
 
