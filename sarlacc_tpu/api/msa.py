@@ -738,13 +738,16 @@ def _msa_segment(
         )
 
     state = {}
-    for pos, gi in enumerate(active):
-        idx = by_group[gi]
-        g = idx.size
-        merges = _nj_tree(1.0 - idents[pos])
-        lens_local = lengths[idx]
-        profiles = {m: _Profile.leaf(m, int(lens_local[m])) for m in range(g)}
-        state[gi] = {"merges": merges, "profiles": profiles, "nxt": g}
+    with profiler("msa.guide_tree"):
+        for pos, gi in enumerate(active):
+            idx = by_group[gi]
+            g = idx.size
+            merges = _nj_tree(1.0 - idents[pos])
+            lens_local = lengths[idx]
+            profiles = {
+                m: _Profile.leaf(m, int(lens_local[m])) for m in range(g)
+            }
+            state[gi] = {"merges": merges, "profiles": profiles, "nxt": g}
 
     # Readiness-scheduled waves: each wave batches EVERY merge (across all
     # groups) whose operand profiles both exist — disjoint subtrees of one

@@ -216,15 +216,22 @@ def _pair_walk_kernel(dirs, lens_a, lens_b, lo, wp_layout: bool = False):
 
         choice = d_row & 3
         hext = (d_row >> 2) & 1
-        vext = (d_row >> 3) & 1
         # pz_h[k]: largest k' <= k whose hext is 0 — an H-run starting at k
         # ends one column below that cell (reference semantics: state stays H
         # while the *current* cell's extend bit is set).
         pz_h = jax.lax.cummax(jnp.where(hext == 0, karr, -1), axis=kax)
+        # ONE packed plane so each chain hop costs a single [P] gather (the
+        # gathers dominate the walk): bits 0-1 choice, bit 2 vext,
+        # bits 3+ pz_h + 1.
+        pack = (
+            (d_row & 3)
+            | (((d_row >> 3) & 1) << 2)
+            | ((pz_h + 1) << 3)
+        )
 
         # V-state pairs: exactly one vertical move this row.
         is_v = act & (st == 2)
-        v_vext = gather_k(vext, k)
+        v_vext = (gather_k(pack, k) >> 2) & 1
 
         # S-state pairs: resolve the within-row choice/H-run chain.
         is_s = act & (st == 0)
@@ -234,12 +241,13 @@ def _pair_walk_kernel(dirs, lens_a, lens_b, lo, wp_layout: bool = False):
             return jnp.any(c[0])
 
         def body(c):
-            unresolved, kk, exit_diag, exit_vert, dd = c
-            ch = gather_k(choice, kk)
+            unresolved, kk, exit_diag, exit_vert, dd, _pk = c
+            pk = gather_k(pack, kk)
+            ch = pk & 3
             dg = unresolved & (ch == 0)
             vt = unresolved & (ch == 2)
             hz = unresolved & (ch == 1)
-            kend = gather_k(pz_h, kk) - 1
+            kend = (pk >> 3) - 2  # pz_h at kk, minus one
             knew = jnp.where(hz, kend, kk)
             died = hz & ((knew <= kz) | (knew < 0))
             return (
@@ -248,15 +256,20 @@ def _pair_walk_kernel(dirs, lens_a, lens_b, lo, wp_layout: bool = False):
                 exit_diag | dg,
                 exit_vert | vt,
                 dd | died,
+                jnp.where(unresolved, pk, _pk),
             )
 
-        _, k_s, exit_diag, exit_vert, died_s = jax.lax.while_loop(
-            cond, body, (is_s, k, f, f, f)
+        pk0 = jnp.zeros(P, jnp.int32)
+        _, k_s, exit_diag, exit_vert, died_s, pk_s = jax.lax.while_loop(
+            cond, body, (is_s, k, f, f, f, pk0)
         )
 
         # int16 halves the jmat readback (j <= column count << 32767).
         j_emit = jnp.where(exit_diag, r + lo + k_s, 0).astype(jnp.int16)
-        s_vext = gather_k(vext, k_s)
+        # pk_s is the pack at each pair's RESOLVING position (the last hop
+        # where it was still unresolved) == pack at k_s, so the vext bit
+        # needs no extra gather.
+        s_vext = (pk_s >> 2) & 1
         k_after_s = jnp.where(exit_vert, k_s + 1, k_s)
         st_after_s = jnp.where(exit_vert & (s_vext == 1), 2, 0)
 
@@ -1064,7 +1077,11 @@ def _arena_place_kernel(arena, jmat, fwd_rows, rev_rows, rows: int):
     """Place one bucket's jmats into the arena as forward + reverse rows.
 
     DP rows beyond ``stride - 1`` are padding (positions never exceed the
-    true max length the stride was sized from) and are sliced away.
+    true max length the stride was sized from) and are sliced away.  The
+    reverse maps scatter straight into the flat arena (one 1D scatter of
+    the matched positions) — materializing [Pb, stride] reverse planes and
+    row-scattering them cost ~0.4 s per bucket at 8k pairs.  Reverse rows
+    are zeroed first via the same row scatter that writes the forward rows.
     """
     Pb = jmat.shape[1]
     stride = arena.shape[1]
@@ -1074,14 +1091,25 @@ def _arena_place_kernel(arena, jmat, fwd_rows, rev_rows, rows: int):
         fwd, jmat.T[:, :take].astype(arena.dtype), (0, 1)
     )
     cols = fwd[:, 1 : take + 1].astype(jnp.int32)  # matched b per a (0 dead)
-    parr = jnp.arange(Pb, dtype=jnp.int32)[:, None]
+    arena = arena.at[fwd_rows].set(fwd, mode="drop")
+    arena = arena.at[rev_rows].set(jnp.zeros((Pb, stride), arena.dtype), mode="drop")
     avals = jnp.broadcast_to(
         jnp.arange(1, take + 1, dtype=jnp.int32)[None, :], cols.shape
     ).astype(arena.dtype)
-    rev = jnp.zeros((Pb, stride), arena.dtype)
-    rev = rev.at[parr, jnp.where(cols > 0, cols, stride)].set(avals, mode="drop")
-    arena = arena.at[fwd_rows].set(fwd, mode="drop")
-    arena = arena.at[rev_rows].set(rev, mode="drop")
+    size = arena.shape[0] * stride
+    flatidx = jnp.where(
+        cols > 0,
+        rev_rows[:, None].astype(jnp.int32) * stride + cols,
+        size,  # dropped
+    )
+    # pad rows carry rev_rows == R (out of bounds) -> index >= size -> drop.
+    flatidx = jnp.where(rev_rows[:, None] < arena.shape[0], flatidx, size)
+    arena = (
+        arena.reshape(-1)
+        .at[flatidx.reshape(-1)]
+        .set(avals.reshape(-1), mode="drop")
+        .reshape(arena.shape[0], stride)
+    )
     return arena
 
 

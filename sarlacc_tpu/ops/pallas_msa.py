@@ -50,6 +50,13 @@ def _shift_down(x, sh, fill):
     return jnp.where(rows < sh, fill, rolled)
 
 
+#: DP rows per grid step.  One row per step made the whole kernel
+#: grid-overhead-bound (~23 us/step -> 1.4 GCUPS measured); 64 rows of
+#: inner fori_loop per step amortize it while the (CH, W, 128) int8 dirs
+#: block stays at 2 MB of VMEM.
+ROW_CHUNK = 64
+
+
 def _kernel(
     scal_ref,  # SMEM [4]: match, mismatch, gap_open, gap_ext
     lens_a_ref,  # VMEM (1, LANES) int32
@@ -58,7 +65,7 @@ def _kernel(
     kmax_ref,
     a_ref,  # VMEM (rows, LANES) int8-as-int32 codes of A (row i-1 -> pos i)
     bwin_ref,  # VMEM (rows + W, LANES) int32 pre-shifted B codes
-    dirs_ref,  # out block (1, W, LANES) int8 for this row
+    dirs_ref,  # out block (CH, W, LANES) int8 for this row chunk
     score_ref,  # out block (1, LANES) f32 — final row's S at kfin
     s_ref,
     h_ref,
@@ -68,7 +75,8 @@ def _kernel(
     width: int,
 ):
     W = width
-    i = pl.program_id(1) + 1  # DP row, 1-based
+    c = pl.program_id(1)  # row chunk
+    base = c * ROW_CHUNK
     mt = scal_ref[0]
     mm = scal_ref[1]
     go = scal_ref[2]
@@ -77,10 +85,11 @@ def _kernel(
     karr = jax.lax.broadcasted_iota(jnp.int32, (W, LANES), 0)
     karr_f = karr.astype(jnp.float32)
     lens_b = lens_b_ref[0][None, :]  # (1, LANES)
+    lens_a = lens_a_ref[0][None, :]
     lo = lo_ref[0][None, :]
     in_band = karr <= kmax_ref[0][None, :]
 
-    @pl.when(i == 1)
+    @pl.when(c == 0)
     def _():
         j0 = lo + karr
         jj = j0.astype(jnp.float32)
@@ -97,54 +106,64 @@ def _kernel(
         h_ref[:] = jnp.where(s0 > NEG / 2, jnp.where(j0 >= 1, s0, NEG), NEG)
         v_ref[:] = jnp.full((W, LANES), NEG, jnp.float32)
 
-    S = s_ref[:]
-    H = h_ref[:]
-    V = v_ref[:]
+    def row_body(u, _):
+        i = base + u + 1  # DP row, 1-based
+        S = s_ref[:]
+        H = h_ref[:]
+        V = v_ref[:]
 
-    j = i + lo + karr
-    valid = jnp.logical_and(jnp.logical_and(j >= 0, j <= lens_b), in_band)
-    alive = i <= lens_a_ref[0][None, :]
+        j = i + lo + karr
+        valid = jnp.logical_and(jnp.logical_and(j >= 0, j <= lens_b), in_band)
+        alive = i <= lens_a
 
-    a_i = a_ref[i - 1][None, :]  # (1, LANES)
-    bw = bwin_ref[pl.ds(i - 1, W), :]  # (W, LANES)
-    sub = jnp.where(a_i == bw, mt, mm)
-    sub = jnp.where(jnp.logical_and(j >= 1, j <= lens_b), sub, NEG)
+        a_i = a_ref[pl.ds(base + u, 1)]  # (1, LANES)
+        bw = bwin_ref[pl.ds(base + u, W), :]  # (W, LANES)
+        sub = jnp.where(a_i == bw, mt, mm)
+        sub = jnp.where(jnp.logical_and(j >= 1, j <= lens_b), sub, NEG)
 
-    M = S + sub
-    S_up = _shift_up(S, NEG)
-    V_up = _shift_up(V, NEG)
-    Vn = jnp.maximum(S_up - go, V_up - ge)
-    v_ext = V_up - ge >= S_up - go
+        M = S + sub
+        S_up = _shift_up(S, NEG)
+        V_up = _shift_up(V, NEG)
+        Vn = jnp.maximum(S_up - go, V_up - ge)
+        v_ext = V_up - ge >= S_up - go
 
-    mv = jnp.maximum(M, Vn)
-    B = (mv - go) + karr_f * ge
-    cum = B
-    sh = 1
-    while sh < W:
-        cum = jnp.maximum(cum, _shift_down(cum, sh, NEG))
-        sh *= 2
-    Hn = _shift_down(cum, 1, NEG) - (karr_f - 1.0) * ge
-    Hn = jnp.where(karr == 0, NEG, Hn)
-    Hn = jnp.where(valid, Hn, NEG)
+        mv = jnp.maximum(M, Vn)
+        B = (mv - go) + karr_f * ge
+        cum = B
+        sh = 1
+        while sh < W:
+            cum = jnp.maximum(cum, _shift_down(cum, sh, NEG))
+            sh *= 2
+        Hn = _shift_down(cum, 1, NEG) - (karr_f - 1.0) * ge
+        Hn = jnp.where(karr == 0, NEG, Hn)
+        Hn = jnp.where(valid, Hn, NEG)
 
-    M = jnp.where(valid, M, NEG)
-    Vn = jnp.where(valid, Vn, NEG)
-    Sn = jnp.maximum(M, jnp.maximum(Hn, Vn))
+        M = jnp.where(valid, M, NEG)
+        Vn = jnp.where(valid, Vn, NEG)
+        Sn = jnp.maximum(M, jnp.maximum(Hn, Vn))
 
-    # Mosaic vector arithmetic wants i32; cast to int8 only at the store.
-    choice = jnp.where(M >= Sn, 0, jnp.where(Hn >= Sn, 1, 2)).astype(jnp.int32)
-    mv_prev = _shift_down(mv, 1, NEG)
-    h_prev = _shift_down(Hn, 1, NEG)
-    h_ext = h_prev - ge >= mv_prev - go
-    dirs = choice + (h_ext.astype(jnp.int32) << 2) + (v_ext.astype(jnp.int32) << 3)
-    dirs_ref[0] = dirs.astype(jnp.int8)
+        # Mosaic vector arithmetic wants i32; cast to int8 at the store.
+        choice = jnp.where(M >= Sn, 0, jnp.where(Hn >= Sn, 1, 2)).astype(
+            jnp.int32
+        )
+        mv_prev = _shift_down(mv, 1, NEG)
+        h_prev = _shift_down(Hn, 1, NEG)
+        h_ext = h_prev - ge >= mv_prev - go
+        dirs = (
+            choice
+            + (h_ext.astype(jnp.int32) << 2)
+            + (v_ext.astype(jnp.int32) << 3)
+        )
+        dirs_ref[pl.ds(u, 1)] = dirs.astype(jnp.int8)[None]
 
-    alive_f = alive
-    s_ref[:] = jnp.where(alive_f, Sn, S)
-    h_ref[:] = jnp.where(alive_f, Hn, H)
-    v_ref[:] = jnp.where(alive_f, Vn, V)
+        s_ref[:] = jnp.where(alive, Sn, S)
+        h_ref[:] = jnp.where(alive, Hn, H)
+        v_ref[:] = jnp.where(alive, Vn, V)
+        return 0
 
-    @pl.when(i == rows)
+    jax.lax.fori_loop(0, ROW_CHUNK, row_body, 0)
+
+    @pl.when(c == pl.num_programs(1) - 1)
     def _():
         kfin = lens_b_ref[0] - lens_a_ref[0] - lo_ref[0]  # (LANES,)
         sel = karr == kfin[None, :]
@@ -173,25 +192,29 @@ def _launch(scal, lens_a, lens_b, lo, kmax, codes_a, codes_b, rows, width, inter
     b_shift = jnp.where(okm, gathered, 6).astype(jnp.int32)
 
     n = a_plane.shape[1]
-    grid = (n // LANES, rows)
+    grid = (n // LANES, rows // ROW_CHUNK)
     kern = functools.partial(_kernel, rows=rows, width=width)
     dirs, scores = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda t, c: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda t, c: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda t, c: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda t, c: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, LANES), lambda t, c: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (rows + width, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM
+                (rows + width, LANES), lambda t, c: (0, t), memory_space=pltpu.VMEM
             ),
         ],  # noqa: E501 — a_plane/b_shift built on device above
         out_specs=(
-            pl.BlockSpec((1, width, LANES), lambda t, i: (i, 0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda t, i: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (ROW_CHUNK, width, LANES),
+                lambda t, c: (c, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, LANES), lambda t, c: (0, t), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((rows, width, n), jnp.int8),
