@@ -263,8 +263,13 @@ def align_and_extract(
         pallas_available,
     )
 
-    use_pallas = pallas_available() and dirs_pallas_ok(
-        len(adaptor), int(codes.shape[1])
+    # Pallas dirs path is a plain jitted pallas_call — not partition-aware;
+    # under an active mesh keep the sharding-annotated dp_align branch so the
+    # work actually runs data-parallel instead of gathering to one device.
+    use_pallas = (
+        mesh is None
+        and pallas_available()
+        and dirs_pallas_ok(len(adaptor), int(codes.shape[1]))
     )
     with profiler("align.fit", items=n, cells=cells):
         if use_pallas:

@@ -388,9 +388,20 @@ def _run_pair_bucket(
     hi_p = np.full(Pp, bandwidth, np.int32)
     hi_p[:P] = hi
 
-    from .pallas_msa import banded_pair_pallas, msa_pallas_available
+    from .pallas_msa import (
+        banded_pair_pallas,
+        msa_pallas_available,
+        pallas_pair_fits,
+    )
 
-    use_pallas = msa_pallas_available()
+    # Pallas path: single-device only (plain jitted pallas_call is not
+    # partition-aware) and only for buckets whose static VMEM footprint
+    # fits — oversized (rows, W) classes take the sharded XLA kernel.
+    use_pallas = (
+        msa_pallas_available()
+        and mesh is None
+        and pallas_pair_fits(rows_b, W_b)
+    )
     if use_pallas:
         # VMEM-resident Pallas path: pad pairs to a lane multiple.
         PL = 128
@@ -544,7 +555,9 @@ def banded_pair_align(
                 lo[sub], hi[sub], match, mismatch, gap_open, gap_ext,
                 bandwidth, int(key[0]), int(key[1]),
             )
-            nbytes = int(key[0]) * _bkt_pow2(sub.size, 8) * int(key[1])
+            # Pallas path pads pairs to a lane multiple (>=128); count
+            # the real allocation so the in-flight window is honest.
+            nbytes = int(key[0]) * max(_bkt_pow2(sub.size, 8), 128) * int(key[1])
             inflight.append((sub, sc_dev, jmat_dev, nbytes))
             inflight_bytes += nbytes
             while inflight_bytes > PAIR_INFLIGHT_BUDGET and len(inflight) > 1:
@@ -1059,7 +1072,9 @@ def pair_maps_device(
                     lo[sub], hi[sub], match, mismatch, gap_open, gap_ext,
                     bandwidth, int(key[0]), int(key[1]),
                 )
-            nbytes = int(key[0]) * _bkt_pow2(sub.size, 8) * int(key[1])
+            # Pallas path pads pairs to a lane multiple (>=128); count
+            # the real allocation so the in-flight window is honest.
+            nbytes = int(key[0]) * max(_bkt_pow2(sub.size, 8), 128) * int(key[1])
             inflight.append((sub, int(key[0]), jmat_dev, ident_dev, nbytes))
             inflight_bytes += nbytes
             while inflight_bytes > PAIR_INFLIGHT_BUDGET and len(inflight) > 1:

@@ -112,7 +112,6 @@ def _kernel(modes_ref, mask_ref, scal_ref, costm_ref, costmm_ref, codes_ref, out
         sh *= 2
     row0 = masks[1]
     rge = rows_f * ge  # vertical-gap open ramp
-    rge_go = rge - go  # ... with the opening charge folded in
     rge1 = (rows_f - 1.0) * ge  # and its closing ramp
 
     def shift1(x, sh):
@@ -153,7 +152,10 @@ def _kernel(modes_ref, mask_ref, scal_ref, costm_ref, costmm_ref, codes_ref, out
         if zero_vgap:
             cum = mv
         else:
-            cum = mv + rge_go
+            # Keep the scan path's exact association ((mv - go) + rge, not
+            # mv + (rge - go)): one extra op per cell buys last-ulp score
+            # identity with dp_align and _dir_kernel at exact ties.
+            cum = (mv - go) + rge
         sh = 1
         while sh < l1:
             cum = jnp.maximum(cum, shift1(cum, sh))
@@ -325,18 +327,21 @@ def _dir_kernel(
     out_ref[:] = s_ref[:]
 
 
-def dirs_pallas_ok(rlen: int, L: int, vmem_budget: int = 10 << 20) -> bool:
+def dirs_pallas_ok(rlen: int, L: int, vmem_budget: int = 12 << 20) -> bool:
     """Whether the direction kernel's per-tile VMEM footprint fits.
 
-    dirs block [R, l1, 128] int16 + planes [2, 4, l1, 128] f32 + 4 f32/i32
-    scratch planes; ~16 MB/core VMEM total, leave slack for double buffers.
+    Pallas double-buffers every in/out block (dirs out [R, l1, 128] int16,
+    cost-plane/codes in blocks, scores out); only scratch is single: count
+    the doubles so shapes near the limit fall back to dp_align instead of
+    failing Mosaic compilation at ~2x the naive estimate.
     """
     l1 = _dir_l1(L)
-    per_tile = (
-        rlen * l1 * LANES * 2  # dirs block
-        + 2 * 4 * l1 * LANES * 4  # cost planes
-        + 5 * l1 * LANES * 4  # codes + S/H/wl/ljp scratch
-    )
+    per_tile = 2 * (
+        rlen * l1 * LANES * 2  # dirs out block
+        + l1 * LANES * 4  # scores out block
+        + 2 * 4 * l1 * LANES * 4  # cost-plane in blocks
+        + l1 * LANES * 4  # codes in block
+    ) + 4 * l1 * LANES * 4  # S/H/wl/ljp scratch (single-buffered)
     return per_tile <= vmem_budget
 
 

@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["banded_pair_pallas", "msa_pallas_available"]
+__all__ = ["banded_pair_pallas", "msa_pallas_available", "pallas_pair_fits"]
 
 NEG = -1.0e9
 LANES = 128
@@ -50,11 +50,50 @@ def _shift_down(x, sh, fill):
     return jnp.where(rows < sh, fill, rolled)
 
 
-#: DP rows per grid step.  One row per step made the whole kernel
-#: grid-overhead-bound (~23 us/step -> 1.4 GCUPS measured); 64 rows of
-#: inner fori_loop per step amortize it while the (CH, W, 128) int8 dirs
-#: block stays at 2 MB of VMEM.
-ROW_CHUNK = 64
+#: Target bytes for everything the kernel keeps resident in VMEM.  The
+#: hardware scoped-vmem limit is 16 MB/core; 12 MB leaves headroom for
+#: Mosaic's own temporaries (r3's fixed ROW_CHUNK=64 hit 17.5 MB at the
+#: W=1024 bucket and crashed the driver bench — BENCH_r03 rc=1).
+VMEM_BUDGET = 12 << 20
+VMEM_LIMIT = 16 << 20
+
+
+def _vmem_bytes(rows: int, width: int, ch: int) -> int:
+    """Static VMEM footprint of one ``_launch`` at the given row chunk.
+
+    Pallas double-buffers every in/out block (revolving buffers for the
+    HBM<->VMEM pipeline); scratch is single-buffered.  (1, LANES) blocks
+    pad to one (8, 128) int32 tile each.
+    """
+    dbl = 2 * (
+        ch * width * LANES          # dirs out block, int8
+        + 8 * LANES * 4             # score out (1, LANES) f32, tile-padded
+        + 4 * 8 * LANES * 4         # four (1, LANES) i32 in blocks, padded
+        + ch * LANES * 4            # a-plane chunk block, i32
+        + (rows + width) * LANES * 4  # pre-shifted B window, i32
+    )
+    scratch = 3 * width * LANES * 4  # S/H/V planes, f32
+    return dbl + scratch
+
+
+def _row_chunk_for(rows: int, width: int) -> int | None:
+    """Largest power-of-two rows-per-grid-step that fits VMEM_BUDGET.
+
+    One row per step made the kernel grid-overhead-bound (~23 us/step ->
+    1.4 GCUPS measured); big chunks of inner fori_loop amortize it.  The
+    chunk must scale *down* with band width — the (CH, W, 128) int8 dirs
+    out block double-buffers to 2*CH*W*128 bytes.  Returns None when even
+    the minimum chunk cannot fit (caller falls back to the XLA kernel).
+    """
+    ch = min(rows, 256)
+    while ch >= 8 and _vmem_bytes(rows, width, ch) > VMEM_BUDGET:
+        ch //= 2
+    return ch if ch >= 8 else None
+
+
+def pallas_pair_fits(rows: int, width: int) -> bool:
+    """True when the (rows, width) bucket compiles within the VMEM limit."""
+    return _row_chunk_for(rows, width) is not None
 
 
 def _kernel(
@@ -73,10 +112,11 @@ def _kernel(
     *,
     rows: int,
     width: int,
+    row_chunk: int,
 ):
     W = width
     c = pl.program_id(1)  # row chunk
-    base = c * ROW_CHUNK
+    base = c * row_chunk
     mt = scal_ref[0]
     mm = scal_ref[1]
     go = scal_ref[2]
@@ -116,7 +156,7 @@ def _kernel(
         valid = jnp.logical_and(jnp.logical_and(j >= 0, j <= lens_b), in_band)
         alive = i <= lens_a
 
-        a_i = a_ref[pl.ds(base + u, 1)]  # (1, LANES)
+        a_i = a_ref[pl.ds(u, 1)]  # (1, LANES) — a-plane block is per-chunk
         bw = bwin_ref[pl.ds(base + u, W), :]  # (W, LANES)
         sub = jnp.where(a_i == bw, mt, mm)
         sub = jnp.where(jnp.logical_and(j >= 1, j <= lens_b), sub, NEG)
@@ -161,7 +201,7 @@ def _kernel(
         v_ref[:] = jnp.where(alive, Vn, V)
         return 0
 
-    jax.lax.fori_loop(0, ROW_CHUNK, row_body, 0)
+    jax.lax.fori_loop(0, row_chunk, row_body, 0)
 
     @pl.when(c == pl.num_programs(1) - 1)
     def _():
@@ -192,8 +232,14 @@ def _launch(scal, lens_a, lens_b, lo, kmax, codes_a, codes_b, rows, width, inter
     b_shift = jnp.where(okm, gathered, 6).astype(jnp.int32)
 
     n = a_plane.shape[1]
-    grid = (n // LANES, rows // ROW_CHUNK)
-    kern = functools.partial(_kernel, rows=rows, width=width)
+    ch = _row_chunk_for(rows, width)
+    if ch is None:  # pragma: no cover — callers gate on pallas_pair_fits
+        raise ValueError(
+            f"banded pair bucket (rows={rows}, W={width}) exceeds VMEM "
+            f"budget at the minimum row chunk"
+        )
+    grid = (n // LANES, rows // ch)
+    kern = functools.partial(_kernel, rows=rows, width=width, row_chunk=ch)
     dirs, scores = pl.pallas_call(
         kern,
         grid=grid,
@@ -203,14 +249,14 @@ def _launch(scal, lens_a, lens_b, lo, kmax, codes_a, codes_b, rows, width, inter
             pl.BlockSpec((1, LANES), lambda t, c: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda t, c: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda t, c: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, LANES), lambda t, c: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, LANES), lambda t, c: (c, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (rows + width, LANES), lambda t, c: (0, t), memory_space=pltpu.VMEM
             ),
         ],  # noqa: E501 — a_plane/b_shift built on device above
         out_specs=(
             pl.BlockSpec(
-                (ROW_CHUNK, width, LANES),
+                (ch, width, LANES),
                 lambda t, c: (c, 0, t),
                 memory_space=pltpu.VMEM,
             ),

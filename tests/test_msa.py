@@ -170,6 +170,80 @@ def test_pallas_banded_pair_parity(rng):
     np.testing.assert_array_equal(np.asarray(jm_ref), np.asarray(jm_pal))
 
 
+def test_pallas_pair_vmem_ladder():
+    """Static VMEM fit across the whole (rows, W) bucket ladder.
+
+    BENCH_r03 crashed because a fixed 64-row chunk put the W=1024 bucket at
+    17.5 MB of scoped VMEM (> the 16 MB/core limit) — a shape the CPU tests
+    never instantiated.  Assert every bucket the pow2 ladder can emit either
+    fits the hardware limit at its chosen row chunk or is declared unfit
+    (``pallas_pair_fits`` False → the sharded XLA kernel takes it), mirroring
+    the reference's any-bandwidth guarantee (quick_msa.cpp:34-35).
+    """
+    from sarlacc_tpu.ops.pallas_msa import (
+        VMEM_LIMIT,
+        _row_chunk_for,
+        _vmem_bytes,
+        pallas_pair_fits,
+    )
+
+    ladder = [64, 128, 256, 512, 1024, 2048, 4096]
+    for rows in ladder:
+        for W in ladder:
+            ch = _row_chunk_for(rows, W)
+            assert pallas_pair_fits(rows, W) == (ch is not None)
+            if ch is None:
+                continue
+            assert rows % ch == 0, (rows, W, ch)
+            assert _vmem_bytes(rows, W, ch) <= VMEM_LIMIT, (rows, W, ch)
+    # The exact r3 crash bucket must take the Pallas path and fit.
+    assert pallas_pair_fits(512, 1024)
+
+
+@pytest.mark.parametrize(
+    "rows,W", [(64, 128), (128, 64), (256, 256), (512, 1024)]
+)
+def test_pallas_pair_parity_ladder(rng, rows, W):
+    """Interpret-mode Pallas vs XLA banded kernel across bucket shapes.
+
+    Includes the (512, 1024) r3 crash shape so chunking/indexing bugs at
+    wide bands can never again reach the hardware bench unexercised.
+    """
+    import jax.numpy as jnp
+
+    from sarlacc_tpu.ops.msa import _banded_pair_kernel
+    from sarlacc_tpu.ops.pallas_msa import banded_pair_pallas
+
+    P = 128
+    LA = rows - 3
+    # Pick LB so the natural band (|diff| + 2*bw + 1) lands in this W bucket.
+    bw = 6
+    LB = LA + max(W - 2 * bw - 1 - 40, 4)
+    codes_a = rng.integers(0, 4, (P, LA)).astype(np.int32)
+    codes_b = rng.integers(0, 4, (P, LB)).astype(np.int32)
+    lens_a = rng.integers(max(LA - 16, 1), LA + 1, P).astype(np.int32)
+    lens_b = rng.integers(max(LB - 16, 1), LB + 1, P).astype(np.int32)
+    diffs = lens_b.astype(np.int64) - lens_a.astype(np.int64)
+    lo = (np.minimum(0, diffs) - bw).astype(np.int32)
+    hi = (np.maximum(0, diffs) + bw).astype(np.int32)
+    assert int((hi - lo).max()) + 1 <= W and int(lens_a.max()) <= rows
+
+    s_ref, d_ref = _banded_pair_kernel(
+        jnp.asarray(codes_a), jnp.asarray(codes_b), jnp.asarray(lens_a),
+        jnp.asarray(lens_b), jnp.asarray(lo), jnp.asarray(hi - lo),
+        0.0, -1.0, 5.0, 1.0, rows=rows, width=W,
+    )
+    s_pal, d_pal = banded_pair_pallas(
+        codes_a, codes_b, lens_a, lens_b, lo, hi - lo,
+        0.0, -1.0, 5.0, 1.0, rows=rows, width=W, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_pal))
+    d_ref = np.asarray(d_ref)
+    d_pal = np.asarray(d_pal).transpose(0, 2, 1)
+    live = (np.arange(1, rows + 1)[:, None] <= lens_a[None, :])[:, :, None]
+    assert np.array_equal(np.where(live, d_ref, 0), np.where(live, d_pal, 0))
+
+
 def test_device_library_without_x64(rng):
     """Device vs host library parity in DEFAULT (32-bit) jax mode.
 
