@@ -24,7 +24,7 @@ import numpy as np
 
 from ..core.encode import SeqBatch
 from ..core.quality import get_encoding
-from ..ops.levenshtein import lev2_condensed, lev2_matrix
+from ..ops.levenshtein import _unique_rows, lev2_condensed, lev2_matrix
 from ..refimpl.cluster import cluster_umis
 from ..refimpl.masking import mask_bad_bases
 from ..utils.profiling import profiled
@@ -104,10 +104,7 @@ def _neighbor_csr(
 
     from ..ops.levenshtein import lev2_neighbor_pairs
 
-    u_codes, first_idx, inv, cnt = np.unique(
-        codes, axis=0, return_index=True, return_inverse=True,
-        return_counts=True,
-    )
+    u_codes, first_idx, inv, cnt = _unique_rows(codes)
     inv = inv.reshape(-1)
     u_lens = lengths[first_idx].astype(np.int32)
     m = u_codes.shape[0]
@@ -148,6 +145,66 @@ def _neighbor_csr(
     offs_r = np.repeat(exp_start_u[inv] - offsets[:-1], deg_r)
     flat = L_flat[offs_r + np.arange(int(offsets[-1]))]
     return flat, offsets
+
+
+def _group_large_single(
+    codes: np.ndarray, lengths: np.ndarray, limit: int
+) -> list[np.ndarray] | None:
+    """Large-n single-UMI grouping on the collapsed unique-string graph.
+
+    Identical reads share a neighbour list, so the read-level greedy
+    clusterer (cluster_umis.cpp:7-112) acts on whole duplicate blocks; the
+    weighted unique-level clusterer (msa_host.cpp::greedy_cluster_weighted)
+    reproduces it exactly — W(u) = sum of duplicate counts over unclaimed
+    DFS neighbours, ties to the largest member read index — without ever
+    materializing the read-level CSR (~4x smaller graph at 1M UMIs).
+    Returns read-index clusters, or None when the native library is missing
+    (caller uses the read-level expansion + Python clusterer).
+    """
+    from ..native import greedy_cluster_weighted_csr
+    from ..ops.levenshtein import lev2_neighbor_pairs
+
+    u_codes, first_idx, inv, cnt = _unique_rows(codes)
+    inv = inv.reshape(-1)
+    u_lens = lengths[first_idx].astype(np.int32)
+    m = u_codes.shape[0]
+    qi, qj = lev2_neighbor_pairs(
+        u_codes.astype(np.int32), u_lens, limit, assume_unique=True
+    )
+
+    off_diag = qi != qj
+    ua = np.concatenate([qi, qj[off_diag]]).astype(np.int64)
+    va = np.concatenate([qj, qi[off_diag]]).astype(np.int64)
+
+    uorder = _dfs_order(u_codes, u_lens)
+    urank = np.empty(m, np.int64)
+    urank[uorder] = np.arange(m)
+    sortk = np.lexsort((urank[va], ua))
+    ua, va = ua[sortk], va[sortk]
+    u_off = np.concatenate([[0], np.cumsum(np.bincount(ua, minlength=m))])
+
+    order_by_uid = np.argsort(inv, kind="stable").astype(np.int64)
+    uid_off = np.concatenate([[0], np.cumsum(cnt)])
+    maxidx = order_by_uid[uid_off[1:] - 1]  # stable sort: block max is last
+
+    res = greedy_cluster_weighted_csr(
+        va.astype(np.int32), u_off, cnt.astype(np.int64), maxidx
+    )
+    if res is None:
+        return None
+    members, offs = res
+    # Expand unique members back to read indices (reads of each unique in
+    # ascending index order, matching the read-level claim loop).
+    lens_m = cnt[members]
+    e_cum = np.concatenate([[0], np.cumsum(lens_m)])
+    total = int(e_cum[-1])
+    offs_flat = np.repeat(uid_off[members] - e_cum[:-1], lens_m)
+    flat_reads = order_by_uid[offs_flat + np.arange(total)]
+    read_offs = e_cum[offs]
+    return [
+        flat_reads[read_offs[c] : read_offs[c + 1]]
+        for c in range(offs.size - 1)
+    ]
 
 
 def _csr_to_lists(flat: np.ndarray, offsets: np.ndarray) -> list[list[int]]:
@@ -223,6 +280,15 @@ def umi_group(
 
         c1 = b1.codes[g].astype(np.int32)
         l1 = b1.lengths[g]
+
+        if b2 is None and curn >= SPARSE_MIN:
+            # Single-UMI scale path: cluster on the collapsed unique graph.
+            clusters_r = _group_large_single(c1, l1, threshold1)
+            if clusters_r is not None:
+                for cl in clusters_r:
+                    output.append(g[cl])
+                continue
+
         flat, offs = _neighbor_csr(c1, l1, threshold1)
 
         if b2 is not None:

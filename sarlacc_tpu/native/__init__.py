@@ -18,9 +18,10 @@ import numpy as np
 
 __all__ = [
     "get_lib", "native_available", "greedy_cluster_native",
-    "greedy_cluster_csr", "triplet_extend_native", "accumulate_cost_native",
+    "greedy_cluster_csr", "greedy_cluster_weighted_csr",
+    "triplet_extend_native", "accumulate_cost_native",
     "candidate_pairs_native", "candidate_verify_native",
-    "verify_pairs_native", "ABORTED",
+    "sym_delete_verify_native", "verify_pairs_native", "ABORTED",
 ]
 
 _SRC = os.path.join(os.path.dirname(__file__), "msa_host.cpp")
@@ -100,6 +101,16 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.candidate_verify_pairs.argtypes = [
         u64p, i32p, ctypes.c_int64, i8p, i32p, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, u64p, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.greedy_cluster_weighted.restype = ctypes.c_int64
+    lib.greedy_cluster_weighted.argtypes = [
+        i32p, i64p, ctypes.c_int64, i64p, i64p, i32p, i64p,
+    ]
+    lib.sym_delete_verify.restype = ctypes.c_int64
+    lib.sym_delete_verify.argtypes = [
+        i8p, i32p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, u64p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32,
     ]
 
 
@@ -266,6 +277,73 @@ def candidate_verify_native(
             _ptr(codes, ctypes.c_int8), _ptr(lengths, ctypes.c_int32),
             codes.shape[1], int(limit), int(thr),
             _ptr(out, ctypes.c_uint64), cap, int(raw_cap),
+        )
+        if m == -(2 ** 63):
+            return ABORTED
+        if m >= 0:
+            return out[:m].copy()
+        cap = int(-m) + 1024
+
+
+def greedy_cluster_weighted_csr(
+    flat: np.ndarray, offsets: np.ndarray, wt: np.ndarray, maxidx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Unique-string-level greedy clustering (read-level semantics on the
+    collapsed multigraph — see msa_host.cpp::greedy_cluster_weighted).
+
+    Returns (members, offsets) over UNIQUE ids, or None if the library is
+    unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    m = offsets.size - 1
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    flat = np.ascontiguousarray(flat, dtype=np.int32)
+    wt = np.ascontiguousarray(wt, dtype=np.int64)
+    maxidx = np.ascontiguousarray(maxidx, dtype=np.int64)
+    if flat.size == 0 and m > 0:
+        flat = np.zeros(1, dtype=np.int32)
+    out_members = np.zeros(max(m, 1), dtype=np.int32)
+    out_offsets = np.zeros(m + 1, dtype=np.int64)
+    ncl = lib.greedy_cluster_weighted(
+        _ptr(flat, ctypes.c_int32), _ptr(offsets, ctypes.c_int64), m,
+        _ptr(wt, ctypes.c_int64), _ptr(maxidx, ctypes.c_int64),
+        _ptr(out_members, ctypes.c_int32), _ptr(out_offsets, ctypes.c_int64),
+    )
+    if ncl == -1:
+        raise ValueError("zero length read group")
+    if ncl == -2:
+        raise ValueError("single-read groups should contain only the read itself")
+    return out_members[: int(out_offsets[int(ncl)])], out_offsets[: int(ncl) + 1]
+
+
+def sym_delete_verify_native(
+    codes: np.ndarray, lengths: np.ndarray, k: int, limit: int, thr: int,
+    raw_cap: int, nthreads: int = 0,
+):
+    """Fully-fused symmetric-delete neighbour search (hashing + bucketed
+    sort + run walk + memoized banded verify), all native, all cores.
+
+    Returns uint64 keys ((lo<<32)|hi, sorted unique) of SURVIVING pairs,
+    ``None`` if the library is unavailable, or :data:`ABORTED` if the raw
+    candidate volume exceeded ``raw_cap``.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.int8)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    n = codes.shape[0]
+    # An undersized cap re-runs the whole search; clustered UMI workloads
+    # reach ~20 surviving pairs per string, so start comfortably above.
+    cap = int(max(32 * n, 1 << 22))
+    while True:
+        out = np.empty(cap, np.uint64)
+        m = lib.sym_delete_verify(
+            _ptr(codes, ctypes.c_int8), _ptr(lengths, ctypes.c_int32),
+            codes.shape[1], n, int(k), int(limit), int(thr),
+            _ptr(out, ctypes.c_uint64), cap, int(raw_cap), int(nthreads),
         )
         if m == -(2 ** 63):
             return ABORTED

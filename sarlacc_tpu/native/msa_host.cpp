@@ -16,9 +16,15 @@
 // oracles.
 
 #include <algorithm>
+#include <atomic>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 #include <cstdint>
 #include <cstring>
+#include <queue>
 #include <thread>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -97,22 +103,23 @@ int64_t greedy_cluster(
         }
     }
 
-    while (!candidates.empty()) {
-        // Compact dead candidates.
-        size_t keep = 0;
-        for (size_t i = 0; i < candidates.size(); ++i) {
-            if (remaining[candidates[i]] > 0) candidates[keep++] = candidates[i];
-        }
-        candidates.resize(keep);
-        if (candidates.empty()) break;
+    // Lazy max-heap of (remaining << 32) | index: the packed comparison is
+    // exactly "max remaining, ties to the highest index"
+    // (cluster_umis.cpp:62-69).  Counts only decrease, so a popped entry
+    // whose stored count mismatches remaining[] is stale and skipped; every
+    // decrement pushes a refreshed entry.  Replaces the per-round
+    // candidate-list compaction (O(rounds * candidates) — quadratic-ish at
+    // 1M UMIs) with O((n + E) log) total.
+    std::priority_queue<uint64_t> heap;
+    for (int32_t c : candidates)
+        heap.push(((uint64_t)remaining[c] << 32) | (uint32_t)c);
 
-        // Max remaining, ties to the highest index (cluster_umis.cpp:62-69).
-        int32_t best = candidates[0];
-        for (size_t i = 1; i < candidates.size(); ++i) {
-            int32_t c = candidates[i];
-            if (remaining[c] >= remaining[best]) best = c;
-        }
-        candidates.erase(std::find(candidates.begin(), candidates.end(), best));
+    while (!heap.empty()) {
+        const uint64_t top = heap.top();
+        heap.pop();
+        const int32_t best = (int32_t)(top & 0xFFFFFFFFu);
+        if (remaining[best] != (int64_t)(top >> 32) || remaining[best] == 0)
+            continue;  // stale (decremented or already claimed)
 
         for (int64_t p = offsets[best]; p < offsets[best + 1]; ++p) {
             int32_t nb = storage[p];
@@ -121,7 +128,86 @@ int64_t greedy_cluster(
             remaining[nb] = 0;
             for (int64_t q = offsets[nb]; q < offsets[nb + 1]; ++q) {
                 int32_t nxt = storage[q];
-                if (remaining[nxt] > 0) --remaining[nxt];
+                if (remaining[nxt] > 0) {
+                    --remaining[nxt];
+                    if (remaining[nxt] > 0)
+                        heap.push(((uint64_t)remaining[nxt] << 32)
+                                  | (uint32_t)nxt);
+                }
+            }
+        }
+        out_offsets[++ncl] = at;
+    }
+    return ncl;
+}
+
+// ---------------------------------------------------------------------------
+// Unique-string-level greedy clustering, weighted by duplicate counts —
+// EXACTLY the read-level greedy (cluster_umis.cpp:7-112 semantics) on the
+// collapsed graph.  Identical reads always share a neighbour list, so reads
+// of one unique string are claimed as a block and every read of an
+// unclaimed unique u has remaining = W(u) = sum of wt[v] over unclaimed
+// v in N(u).  Ties to the highest READ index = the unique with the largest
+// maxidx among its reads.  Member emission (DFS-list order, reads of each
+// unique ascending) and cluster order (read-index-ordered singletons first,
+// then selection order) match the read-level clusterer byte for byte; the
+// caller expands unique members back to read indices.
+//
+// storage/offsets: unique-level symmetric CSR (diagonal included, DFS
+// order); wt[u] = #reads of u; maxidx[u] = largest read index of u.
+// Returns #clusters, or -1 (empty list) / -2 (bad solo).
+// ---------------------------------------------------------------------------
+int64_t greedy_cluster_weighted(
+    const int32_t* storage, const int64_t* offsets, int64_t m,
+    const int64_t* wt, const int64_t* maxidx,
+    int32_t* out_members, int64_t* out_offsets)
+{
+    std::vector<int64_t> W(m);
+    std::vector<std::pair<int64_t, int32_t>> singles;
+    std::priority_queue<std::pair<uint64_t, int32_t>> heap;
+    for (int64_t u = 0; u < m; ++u) {
+        const int64_t size = offsets[u + 1] - offsets[u];
+        if (size == 0) return -1;
+        if (size == 1 && storage[offsets[u]] != u) return -2;
+        int64_t w = 0;
+        for (int64_t p = offsets[u]; p < offsets[u + 1]; ++p)
+            w += wt[storage[p]];
+        W[u] = w;
+        if (w == 1) {
+            singles.emplace_back(maxidx[u], (int32_t)u);
+            W[u] = 0;  // read-level singleton: emitted below, never greedy
+        } else {
+            heap.push({((uint64_t)w << 32) | (uint32_t)maxidx[u], (int32_t)u});
+        }
+    }
+
+    int64_t ncl = 0, at = 0;
+    out_offsets[0] = 0;
+    std::sort(singles.begin(), singles.end());
+    for (auto& s : singles) {
+        out_members[at++] = s.second;
+        out_offsets[++ncl] = at;
+    }
+
+    while (!heap.empty()) {
+        const auto top = heap.top();
+        heap.pop();
+        const int32_t best = top.second;
+        if (W[best] != (int64_t)(top.first >> 32) || W[best] == 0)
+            continue;  // stale
+        for (int64_t p = offsets[best]; p < offsets[best + 1]; ++p) {
+            const int32_t v = storage[p];
+            if (W[v] == 0) continue;
+            out_members[at++] = v;
+            const int64_t dec = wt[v];
+            W[v] = 0;
+            for (int64_t q = offsets[v]; q < offsets[v + 1]; ++q) {
+                const int32_t w2 = storage[q];
+                if (W[w2] > 0) {
+                    W[w2] -= dec;
+                    heap.push({((uint64_t)W[w2] << 32) | (uint32_t)maxidx[w2],
+                               w2});
+                }
             }
         }
         out_offsets[++ncl] = at;
@@ -382,6 +468,431 @@ int64_t candidate_verify_pairs(
     }
     std::sort(out, out + m);
     return (int64_t)(std::unique(out, out + m) - out);
+}
+
+// ---------------------------------------------------------------------------
+// Fully-fused symmetric-delete neighbour search: variant hashing, bucketed
+// sort, shared-variant run walk, memoized banded verification — all native,
+// all threads.  Replaces the numpy hash stage + 2-thread
+// candidate_verify_pairs for the large-n UMI path (sorted_trie.cpp:107-187
+// pruned-walk semantics; results identical because every candidate passes
+// the exact banded DP).
+//
+//   codes [n, W] int8 (A=0..N=4), lens [n], k = max deletions,
+//   limit/thr = band half-width / doubled-cost threshold,
+//   out/cap = surviving unique (lo<<32)|hi keys,
+//   raw_cap = abort guard on total probed candidate pairs.
+//
+// Returns #unique surviving keys, -needed if cap too small, INT64_MIN on
+// raw blowup (caller falls back to the dense scan).
+// ---------------------------------------------------------------------------
+}  // extern "C" — helpers below use templates (no C linkage)
+
+namespace {
+
+struct VarEntry {
+    uint64_t h;
+    int32_t owner;
+    uint32_t dp;  // deletion positions: count (4 bits) | pos_i << (4 + 5*i)
+};
+
+inline bool entry_less(const VarEntry& a, const VarEntry& b) {
+    if (a.h != b.h) return a.h < b.h;
+    if (a.owner != b.owner) return a.owner < b.owner;
+    return a.dp < b.dp;
+}
+
+// Whether a shared-variant occurrence is consistent with SOME <=k-edit
+// alignment: unpack the two sorted deletion-position lists and look for a
+// monotone matching of >= da + db - k pairs with per-pair |delta| <= k.
+// For a true pair the canonical alignment's variant (delete exactly the
+// non-match columns on both sides) has s matched substitution columns with
+// |delta| <= #indels <= k and d + i unmatched, s + d + i <= k — so it always
+// passes, making this prune EXACT.  Accidental collisions (random strings
+// sharing a k-deletion variant with incompatible positions) drop here
+// instead of reaching the DP.
+inline bool delpos_compatible(uint32_t dpa, uint32_t dpb, int32_t k) {
+    int ca = (int)(dpa & 15), cb = (int)(dpb & 15);
+    if (ca + cb <= k) return true;  // enough edits to leave all unmatched
+    int need = ca + cb - k;
+    int A[8], B[8];
+    for (int i = 0; i < ca; ++i) A[i] = (int)((dpa >> (4 + 5 * i)) & 31);
+    for (int i = 0; i < cb; ++i) B[i] = (int)((dpb >> (4 + 5 * i)) & 31);
+    // Greedy two-pointer maximum monotone matching under |a - b| <= k.
+    int i = 0, j = 0, matched = 0;
+    while (i < ca && j < cb) {
+        const int d = A[i] - B[j];
+        if (d > k) ++j;
+        else if (d < -k) ++i;
+        else { ++matched; ++i; ++j; }
+    }
+    return matched >= need;
+}
+
+// Murmur3 finalizer — spreads base-5-packed variant hashes (which occupy
+// only their low bits, heavily banded by variant length) evenly over the
+// bucket space so threads see balanced buckets.
+inline uint64_t mix64(uint64_t x) {
+    x ^= x >> 33; x *= 0xff51afd7ed558ccdull;
+    x ^= x >> 33; x *= 0xc4ceb9fe1a85ec53ull;
+    x ^= x >> 33; return x;
+}
+
+// Enumerate every <=k-deletion variant of one string; calls
+// fn(hash, packed_delpos) with delpos packed as in VarEntry::dp.
+template <typename F>
+inline void for_each_variant(
+    const int8_t* c, int32_t L, int32_t k, const uint64_t* pow5, F&& fn)
+{
+    // d = 0.
+    {
+        uint64_t h = 0;
+        for (int32_t t = 0; t < L; ++t) h += (uint64_t)c[t] * pow5[t];
+        fn(h + pow5[L], 0u);
+    }
+    const int32_t kk = k < L ? k : L;
+    // d >= 1: standard next-combination over deletion positions.
+    int32_t dp[8];
+    for (int32_t d = 1; d <= kk; ++d) {
+        for (int32_t i = 0; i < d; ++i) dp[i] = i;
+        const uint64_t sentinel = pow5[L - d];
+        const bool packable = d <= 4 && L <= 31;
+        for (;;) {
+            uint64_t h = sentinel;
+            int32_t r = 0, di = 0;
+            for (int32_t t = 0; t < L; ++t) {
+                if (di < d && t == dp[di]) { ++di; continue; }
+                h += (uint64_t)c[t] * pow5[r++];
+            }
+            uint32_t packed = 0;
+            if (packable) {
+                packed = (uint32_t)d;
+                for (int32_t i = 0; i < d; ++i)
+                    packed |= (uint32_t)dp[i] << (4 + 5 * i);
+            }
+            fn(h, packed);
+            int32_t i = d - 1;
+            while (i >= 0 && dp[i] == L - d + i) --i;
+            if (i < 0) break;
+            ++dp[i];
+            for (int32_t j = i + 1; j < d; ++j) dp[j] = dp[j - 1] + 1;
+        }
+    }
+}
+
+inline int64_t variant_count(int32_t L, int32_t k) {
+    int64_t total = 0, c = 1;
+    for (int32_t d = 0; d <= (k < L ? k : L); ++d) {
+        total += c;
+        c = c * (L - d) / (d + 1);
+    }
+    return total;
+}
+
+// Parallel LSD radix sort for uint64 keys occupying the low ``nbits`` bits.
+// 16-bit digits; per-thread-chunk histograms and cursors keep each pass
+// stable, so the whole sort is stable and exact.
+void radix_sort_u64(std::vector<uint64_t>& v, int nbits, int T) {
+    const int64_t n = (int64_t)v.size();
+    if (n < (1 << 14)) {
+        std::sort(v.begin(), v.end());
+        return;
+    }
+    constexpr int DB = 16, ND = 1 << DB;
+    std::vector<uint64_t> tmp(v.size());
+    uint64_t* src = v.data();
+    uint64_t* dst = tmp.data();
+    const int passes = (nbits + DB - 1) / DB;
+    std::vector<std::vector<int64_t>> hist(T, std::vector<int64_t>(ND));
+    std::vector<std::vector<int64_t>> cur(T, std::vector<int64_t>(ND));
+    for (int p = 0; p < passes; ++p) {
+        const int sh = p * DB;
+        for (auto& hh : hist) std::fill(hh.begin(), hh.end(), 0);
+        {
+            std::vector<std::thread> th;
+            auto hw = [&](int t) {
+                const int64_t s = n * t / T, e = n * (t + 1) / T;
+                auto& hh = hist[t];
+                for (int64_t i = s; i < e; ++i)
+                    ++hh[(src[i] >> sh) & (ND - 1)];
+            };
+            for (int t = 1; t < T; ++t) th.emplace_back(hw, t);
+            hw(0);
+            for (auto& x : th) x.join();
+        }
+        int64_t at = 0;
+        for (int d = 0; d < ND; ++d)
+            for (int t = 0; t < T; ++t) { cur[t][d] = at; at += hist[t][d]; }
+        {
+            std::vector<std::thread> th;
+            auto sw = [&](int t) {
+                const int64_t s = n * t / T, e = n * (t + 1) / T;
+                auto& cc = cur[t];
+                for (int64_t i = s; i < e; ++i)
+                    dst[cc[(src[i] >> sh) & (ND - 1)]++] = src[i];
+            };
+            for (int t = 1; t < T; ++t) th.emplace_back(sw, t);
+            sw(0);
+            for (auto& x : th) x.join();
+        }
+        std::swap(src, dst);
+    }
+    if (src != v.data())
+        std::memcpy(v.data(), src, (size_t)n * sizeof(uint64_t));
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t sym_delete_verify(
+    const int8_t* codes, const int32_t* lens, int32_t W, int64_t n,
+    int32_t k, int32_t limit, int32_t thr,
+    uint64_t* out, int64_t cap, int64_t raw_cap, int32_t nthreads)
+{
+    const bool timing = getenv("SARLACC_NATIVE_TIMING") != nullptr;
+    auto clk = [] {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+    };
+    double t0 = timing ? clk() : 0.0;
+    auto mark = [&](const char* what) {
+        if (timing) {
+            double t1 = clk();
+            fprintf(stderr, "[sym_delete_verify] %s: %.3fs\n", what, t1 - t0);
+            t0 = t1;
+        }
+    };
+    if (k > 8) return INT64_MIN;  // dp[8] bound; callers cap far below this
+    uint64_t pow5[32];
+    pow5[0] = 1;
+    for (int i = 1; i < 32; ++i) pow5[i] = pow5[i - 1] * 5;
+
+    unsigned hw = std::thread::hardware_concurrency();
+    int T = nthreads > 0 ? nthreads : (hw ? (int)hw : 2);
+    if (T > 16) T = 16;
+    if ((int64_t)T > n) T = n > 0 ? (int)n : 1;
+
+    // Per-string entry offsets (analytic counts — no dedup at this stage).
+    std::vector<int64_t> soff(n + 1);
+    soff[0] = 0;
+    for (int64_t i = 0; i < n; ++i)
+        soff[i + 1] = soff[i] + variant_count(lens[i], k);
+    const int64_t E = soff[n];
+    if (E == 0) return 0;
+
+    // Bucket by the mixed hash: base-5 packing bands hashes by variant
+    // length (83% of entries can land in a handful of raw-value buckets);
+    // the murmur finalizer spreads them uniformly.  Equal hashes still map
+    // to equal buckets, so shared-variant runs never straddle buckets.
+    const int NB_BITS = 11;
+    const int NB = 1 << NB_BITS;
+    auto bucket_of = [](uint64_t h) { return (int)(mix64(h) >> (64 - 11)); };
+
+    // Pass 1: per-thread bucket histograms (hashes recomputed in pass 2 —
+    // cheaper than materializing a stripe-ordered temp copy).
+    std::vector<std::vector<int64_t>> hist(T, std::vector<int64_t>(NB, 0));
+    auto stripe = [&](int t) -> std::pair<int64_t, int64_t> {
+        return {n * t / T, n * (t + 1) / T};
+    };
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < T; ++t) {
+            th.emplace_back([&, t] {
+                auto [s, e] = stripe(t);
+                auto& hh = hist[t];
+                for (int64_t i = s; i < e; ++i) {
+                    for_each_variant(
+                        codes + i * (int64_t)W, lens[i], k, pow5,
+                        [&](uint64_t h, uint32_t) { ++hh[bucket_of(h)]; });
+                }
+            });
+        }
+        for (auto& x : th) x.join();
+    }
+    mark("histogram");
+
+    // Bucket offsets + per-thread scatter cursors.
+    std::vector<int64_t> boff(NB + 1, 0);
+    for (int b = 0; b < NB; ++b) {
+        boff[b + 1] = boff[b];
+        for (int t = 0; t < T; ++t) boff[b + 1] += hist[t][b];
+    }
+    std::vector<std::vector<int64_t>> cur(T, std::vector<int64_t>(NB));
+    for (int b = 0; b < NB; ++b) {
+        int64_t at = boff[b];
+        for (int t = 0; t < T; ++t) { cur[t][b] = at; at += hist[t][b]; }
+    }
+
+    // Pass 2: scatter into bucket order.
+    std::vector<VarEntry> e(E);
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < T; ++t) {
+            th.emplace_back([&, t] {
+                auto [s, xe] = stripe(t);
+                auto& cc = cur[t];
+                for (int64_t i = s; i < xe; ++i) {
+                    const int32_t ow = (int32_t)i;
+                    for_each_variant(
+                        codes + i * (int64_t)W, lens[i], k, pow5,
+                        [&](uint64_t h, uint32_t dp) {
+                            e[cc[bucket_of(h)]++] = {h, ow, dp};
+                        });
+                }
+            });
+        }
+        for (auto& x : th) x.join();
+    }
+    mark("scatter");
+
+    // Phase 3 — per-bucket: sort, dedup (h, owner), walk shared-hash runs
+    // and EMIT raw pair keys (no DP here: at UMI lengths the banded DP is
+    // as cheap as a hash probe, so memoization loses; dedup-then-verify
+    // wins by running each unique pair's DP exactly once).  Buckets are
+    // hash-disjoint so runs never straddle them; threads pull buckets from
+    // an atomic cursor.
+    std::vector<std::vector<uint64_t>> rawk(T);
+    std::vector<int64_t> raw(T, 0);
+    std::atomic<int> next_bucket{0};
+    std::atomic<bool> abort_flag{false};
+
+    auto walk = [&](int tid) {
+        auto& mine = rawk[tid];
+        mine.reserve((size_t)(E / T / 2));
+        for (;;) {
+            const int b = next_bucket.fetch_add(1);
+            if (b >= NB || abort_flag.load(std::memory_order_relaxed)) break;
+            VarEntry* bs = e.data() + boff[b];
+            const int64_t bn = boff[b + 1] - boff[b];
+            if (bn < 2) continue;
+            std::sort(bs, bs + bn, entry_less);
+            int64_t m = 0;  // in-place dedup of (h, owner, delpos)
+            for (int64_t i = 0; i < bn; ++i) {
+                if (m && bs[m - 1].h == bs[i].h
+                      && bs[m - 1].owner == bs[i].owner
+                      && bs[m - 1].dp == bs[i].dp)
+                    continue;
+                bs[m++] = bs[i];
+            }
+            for (int64_t s = 0; s < m;) {
+                int64_t t2 = s + 1;
+                while (t2 < m && bs[t2].h == bs[s].h) ++t2;
+                if ((raw[tid] += (t2 - s) * (t2 - s - 1) / 2) > raw_cap) {
+                    abort_flag.store(true, std::memory_order_relaxed);
+                    return;
+                }
+                for (int64_t i = s; i < t2; ++i) {
+                    // Arithmetic packing lo * n + hi occupies only
+                    // 2*bit_width(n) bits — one fewer radix pass than
+                    // (lo << 32) | hi.  Owners ascend within a run
+                    // (entry_less), so (i, j) is already (lo, hi).
+                    const uint64_t lo = (uint64_t)(uint32_t)bs[i].owner * (uint64_t)n;
+                    const uint32_t dpi = bs[i].dp;
+                    for (int64_t j = i + 1; j < t2; ++j) {
+                        if (bs[j].owner == bs[i].owner) continue;
+                        if (!delpos_compatible(dpi, bs[j].dp, limit)) continue;
+                        mine.push_back(lo + (uint32_t)bs[j].owner);
+                    }
+                }
+                s = t2;
+            }
+        }
+    };
+    {
+        std::vector<std::thread> th;
+        for (int t = 1; t < T; ++t) th.emplace_back(walk, t);
+        walk(0);
+        for (auto& x : th) x.join();
+    }
+    mark("sort+walk");
+    if (abort_flag.load()) return INT64_MIN;
+
+    // Phase 4 — gather, radix-sort, unique.
+    int64_t nraw = 0;
+    for (auto& v : rawk) nraw += (int64_t)v.size();
+    std::vector<uint64_t> allk((size_t)nraw);
+    {
+        int64_t at = 0;
+        for (auto& v : rawk) {
+            std::memcpy(allk.data() + at, v.data(), v.size() * sizeof(uint64_t));
+            at += (int64_t)v.size();
+            std::vector<uint64_t>().swap(v);
+        }
+    }
+    int nbits = 1;
+    while (((__uint128_t)1 << nbits) < (__uint128_t)n * (uint64_t)n) ++nbits;
+    radix_sort_u64(allk, nbits, T);
+    const int64_t m = (int64_t)(std::unique(allk.begin(), allk.end()) - allk.begin());
+    if (timing)
+        fprintf(stderr, "[sym_delete_verify] raw=%lld unique=%lld\n",
+                (long long)nraw, (long long)m);
+    mark("pair radix+unique");
+
+    // Base-count prefilter tables: for N-free strings every unit of doubled
+    // edit cost moves the (A,C,G,T) count vector by at most 1 in L1, so
+    // L1 > thr rejects without touching the DP (~5 ns vs ~200 ns).  Strings
+    // containing N (N-vs-X costs 1) skip the shortcut.
+    std::vector<uint32_t> pc((size_t)n);
+    std::vector<uint8_t> hasn((size_t)n, 0);
+    for (int64_t i = 0; i < n; ++i) {
+        uint32_t c4 = 0;
+        uint8_t hn = 0;
+        const int8_t* s = codes + i * (int64_t)W;
+        for (int32_t t = 0; t < lens[i]; ++t) {
+            const int8_t b = s[t];
+            if (b >= 0 && b < 4) c4 += 1u << (8 * b);
+            else hn = 1;
+        }
+        pc[i] = c4;
+        hasn[i] = hn;
+    }
+
+    // Phase 5 — verify unique candidates in parallel stripes; compacting
+    // survivors per stripe keeps the output sorted.
+    std::vector<uint8_t> okv((size_t)m);
+    {
+        std::vector<std::thread> th;
+        auto vw = [&](int tid) {
+            const int B = 2 * limit + 1;
+            std::vector<int32_t> prev(B), cur_row(B);
+            const int64_t s = m * tid / T, e2 = m * (tid + 1) / T;
+            for (int64_t i = s; i < e2; ++i) {
+                const int32_t oa = (int32_t)(allk[i] / (uint64_t)n);
+                const int32_t ob = (int32_t)(allk[i] % (uint64_t)n);
+                if (!hasn[oa] && !hasn[ob]) {
+                    const uint32_t a4 = pc[oa], b4 = pc[ob];
+                    int sad = 0;
+                    for (int sh2 = 0; sh2 < 32; sh2 += 8) {
+                        const int d = (int)((a4 >> sh2) & 255)
+                                      - (int)((b4 >> sh2) & 255);
+                        sad += d < 0 ? -d : d;
+                    }
+                    if (sad > thr) { okv[i] = 0; continue; }
+                }
+                okv[i] = lev2_banded_ok(
+                    codes + (int64_t)oa * W, lens[oa],
+                    codes + (int64_t)ob * W, lens[ob],
+                    limit, thr, prev.data(), cur_row.data()) ? 1 : 0;
+            }
+        };
+        for (int t = 1; t < T; ++t) th.emplace_back(vw, t);
+        vw(0);
+        for (auto& x : th) x.join();
+    }
+    int64_t nsurv = 0;
+    for (int64_t i = 0; i < m; ++i) nsurv += okv[i];
+    if (nsurv > cap) return -nsurv;
+    int64_t at = 0;
+    for (int64_t i = 0; i < m; ++i)
+        if (okv[i]) {
+            const uint64_t lo = allk[i] / (uint64_t)n;
+            const uint64_t hi = allk[i] % (uint64_t)n;
+            out[at++] = (lo << 32) | hi;  // API format
+        }
+    mark("verify");
+    return nsurv;
 }
 
 int64_t candidate_pairs(

@@ -379,6 +379,25 @@ _FILTER_MAX_LEN = 24
 _FILTER_MAX_VARIANTS = 512
 
 
+def _unique_rows(codes: np.ndarray):
+    """np.unique(codes, axis=0) with all four returns, but ~20x faster for
+    short code rows: rows pack into one big-endian base-6 uint64 key (codes
+    are 0..5 incl. pad), preserving np.unique's row-lexicographic order, so
+    the sort runs on scalars instead of void views."""
+    n, W = codes.shape
+    if W > 24 or (W and (codes.min() < 0 or codes.max() > 5)):
+        return np.unique(
+            codes, axis=0, return_index=True, return_inverse=True,
+            return_counts=True,
+        )
+    w6 = np.power(np.uint64(6), np.arange(W - 1, -1, -1, dtype=np.uint64))
+    keys = codes.astype(np.uint64) @ w6
+    _, first_idx, inv, cnt = np.unique(
+        keys, return_index=True, return_inverse=True, return_counts=True
+    )
+    return codes[first_idx], first_idx, inv, cnt
+
+
 def _delete_variant_entries(
     codes: np.ndarray, lengths: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -509,31 +528,34 @@ def _neighbor_pairs_filtered(
     if n_rows.size * n > max(1 << 26, n):
         return None
 
-    h, owner = _delete_variant_entries(
-        codes[a_rows], lengths[a_rows], k
-    )
-    owner = a_rows[owner]
     # Budget on raw (pre-dedup) candidate volume: beyond it the filter is
     # no better than the dense scan (pathological low-complexity inputs)
     # and the caller falls back to the row-block path.
     pair_cap = min(max(1 << 24, n * 2048), 1 << 28)
 
-    from ..native import ABORTED, candidate_verify_native, verify_pairs_native
+    from ..native import (
+        ABORTED,
+        sym_delete_verify_native,
+        verify_pairs_native,
+    )
 
-    # Fast path: fused C++ candidate generation + banded verification — the
-    # raw pair stream (heavily duplicated for close pairs) is never
-    # materialized; only surviving keys come back.  The banded DP is exact
-    # for the d2 <= 2*limit decision because any DP cell (i, j) costs
-    # >= 2|i-j|, so no accepting path leaves the band.
-    fused = candidate_verify_native(
-        h, owner, codes, lengths, int(limit), thr, raw_cap=1 << 31
+    # Fast path: the whole search — variant hashing, bucketed sort,
+    # shared-variant run walk, memoized banded verification — fused in one
+    # multithreaded C++ pass; the heavily-duplicated raw pair stream is
+    # never materialized and each pair's DP runs once per thread.  The
+    # banded DP is exact for the d2 <= 2*limit decision because any DP cell
+    # (i, j) costs >= 2|i-j|, so no accepting path leaves the band.
+    fused = sym_delete_verify_native(
+        codes[a_rows], lengths[a_rows], k, int(limit), thr, raw_cap=1 << 31
     )
     if fused is ABORTED:
         return None
     if fused is not None:
-        sa = (fused >> np.uint64(32)).astype(np.int64)
-        sb = (fused & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        sa = a_rows[(fused >> np.uint64(32)).astype(np.int64)]
+        sb = a_rows[(fused & np.uint64(0xFFFFFFFF)).astype(np.int64)]
     else:
+        h, owner = _delete_variant_entries(codes[a_rows], lengths[a_rows], k)
+        owner = a_rows[owner]
         cand = _candidate_pairs_from_entries(h, owner, pair_cap)
         if cand is None:
             return None
@@ -697,7 +719,7 @@ def lev2_neighbor_pairs(
         # Exact dedup: distance depends only on string contents (the
         # reference trie's identical-consecutive-query short-circuit,
         # sorted_trie.cpp:253-257, batched).
-        uniq, uid = np.unique(codes, axis=0, return_inverse=True)
+        uniq, _, uid, _ = _unique_rows(codes)
         uid = uid.ravel().astype(np.int64)
         n = uniq.shape[0]
         ucnt = np.bincount(uid, minlength=n).astype(np.int64)
@@ -716,6 +738,13 @@ def lev2_neighbor_pairs(
     ua, ub = pairs
     if ua.size == 0:
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    if assume_unique:
+        # Identity expansion: skip the cross-product machinery (it would be
+        # 6 full-size gathers over pairs that all expand 1:1).
+        return (
+            np.minimum(ua, ub).astype(np.int32),
+            np.maximum(ua, ub).astype(np.int32),
+        )
 
     # Unique ids -> read space.  Each unique pair (a, b) expands to the
     # cross product of its member read sets; for a == b keep one

@@ -47,14 +47,14 @@ def main():
     t1 = time.perf_counter()
     print(f"variants: {t1-t0:.2f}s ({h.size} entries)")
 
-    from sarlacc_tpu.native import candidate_verify_native
+    from sarlacc_tpu.native import sym_delete_verify_native
 
     t0 = time.perf_counter()
-    fused = candidate_verify_native(
-        h, owner, u_codes, u_lens, 2, 2 * 2, raw_cap=1 << 31
+    fused = sym_delete_verify_native(
+        u_codes, u_lens, 2, 2, 2 * 2, raw_cap=1 << 31
     )
     t1 = time.perf_counter()
-    print(f"fused candidate+verify: {t1-t0:.2f}s ({None if fused is None else fused.size} pairs)")
+    print(f"fused sym-delete+verify: {t1-t0:.2f}s ({None if fused is None else fused.size} pairs)")
 
     t0 = time.perf_counter()
     res = _neighbor_pairs_filtered(u_codes.astype(np.int32), u_lens, 2, 4)

@@ -129,6 +129,29 @@ def test_sparse_neighbor_lists_match_dense_path(rng, limit, monkeypatch):
     assert sparse == [list(map(int, x)) for x in ref]
 
 
+def test_umi_group_collapsed_clusterer_parity(rng, monkeypatch):
+    """The unique-level weighted greedy clusterer (single-UMI scale path)
+    reproduces the read-level clusterer byte for byte — duplicates, Ns,
+    singleton ordering, tie-breaks."""
+    from sarlacc_tpu.api.umi import umi_group
+    import sarlacc_tpu.api.umi as umi_mod
+
+    for trial in range(4):
+        base = rand_seqs(rng, 40, 5, 7, p_n=0.04)
+        # Heavy duplication so the collapsed graph differs from the
+        # read-level one, plus shuffling so maxidx tie-breaks matter.
+        seqs = base + [base[i % len(base)] for i in range(60)] + ["ACGTA"] * 9
+        order = rng.permutation(len(seqs))
+        seqs = [seqs[i] for i in order]
+        dense = umi_group(seqs, threshold1=2)
+        monkeypatch.setattr(umi_mod, "SPARSE_MIN", 1)
+        collapsed = umi_group(seqs, threshold1=2)
+        monkeypatch.setattr(umi_mod, "SPARSE_MIN", 2048)
+        assert len(dense) == len(collapsed), trial
+        for a, b in zip(dense, collapsed):
+            assert np.array_equal(a, b), trial
+
+
 def test_umi_group_sparse_path_parity(rng, monkeypatch):
     """umi_group end-to-end (incl. dual-UMI intersection) is unchanged when
     the sparse kernel replaces the dense matrix."""
@@ -145,7 +168,7 @@ def test_umi_group_sparse_path_parity(rng, monkeypatch):
         assert np.array_equal(a, b)
 
 
-@pytest.mark.parametrize("limit", [0, 1, 2])
+@pytest.mark.parametrize("limit", [0, 1, 2, 3])
 def test_filter_engine_matches_rowblock(rng, limit):
     """The symmetric-delete filter engine and the row-block scan produce the
     same unique-space neighbour pairs — mixed lengths, Ns, duplicates."""
