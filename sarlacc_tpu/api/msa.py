@@ -36,6 +36,12 @@ import numpy as np
 from ..core.encode import SeqBatch
 from ..core.frame import Frame
 from ..ops.msa import banded_pair_align
+
+#: Longest read the MSA subsystem accepts: positions ride int16 tensors
+#: (jmat emission ops/msa.py, the pair-map arena, uint16 library rows), so
+#: lengths beyond this would wrap silently.  Margin below 32767 covers the
+#: +1 one-past-end conventions.
+MAX_MSA_READ_LEN = 32000
 from ..refimpl.masking import unmask_alignment
 from .umi import quality_mask
 from ..utils.profiling import profiled
@@ -381,7 +387,7 @@ def _lib_w_scale(by_group, active) -> float:
 
 
 def _device_lib_ok(
-    lengths, by_group, active, budget_bytes: int = 1 << 31
+    lengths, by_group, active, budget_bytes: int | None = None
 ) -> bool:
     """Size guard for the device library path.
 
@@ -390,6 +396,13 @@ def _device_lib_ok(
     O(#pairs * SL * stride); groups too large for either must take the host
     path automatically, not only via SARLACC_HOST_LIB.
     """
+
+    if budget_bytes is None:
+        from ..utils.membudget import device_memory_budget
+
+        # ~1/8 of free HBM (2 GiB on an idle 16 GB chip) leaves headroom
+        # for the arena, cost planes, and merge-wave intermediates.
+        budget_bytes = device_memory_budget("lib_table", 0.125, 1 << 31)
 
     def _bkt(x, base):
         b = base
@@ -639,9 +652,13 @@ def _build_library_host(
     return lib_dev, pair_seg, idents
 
 
-#: Estimated-library byte budget per MSA segment: segments at this size stay
-#: comfortably on the device path (2 GiB table guard) and bound peak HBM.
-_SEGMENT_LIB_BUDGET = 1 << 30
+def _segment_lib_budget() -> int:
+    """Estimated-library byte budget per MSA segment: ~1/16 of free HBM
+    (1 GiB on an idle 16 GB chip) keeps segments comfortably under the
+    device-path table guard and bounds peak HBM."""
+    from ..utils.membudget import device_memory_budget
+
+    return device_memory_budget("lib_segment", 1 / 16, 1 << 30)
 
 
 def _group_lib_bytes(lengths, idx) -> int:
@@ -666,7 +683,7 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
     """MSA for all groups, batching device launches across groups.
 
     Groups are packed into **segments** whose estimated consistency-library
-    size fits :data:`_SEGMENT_LIB_BUDGET`; each segment builds its library
+    size fits :func:`_segment_lib_budget`; each segment builds its library
     in one batched launch set and runs its merges in cross-group waves.
     Segmenting bounds peak HBM (an unsegmented 10k-read workload OOMs a
     16 GB chip on the library alone) while keeping launches thousands of
@@ -689,6 +706,7 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
     # Groups too wide for the device extension kernel (slot bucket > 32,
     # see _device_lib_ok) segment separately: one oversized group must not
     # drag its whole segment onto the host path.
+    seg_budget = _segment_lib_budget()
     segments: list[list[int]] = []
     for eligible in (True, False):
         cur: list[int] = []
@@ -701,7 +719,7 @@ def _msa_groups(codes, lengths, by_group, match, mismatch, go, ge, bandwidth):
             if (sl <= 32) != eligible:
                 continue
             b = _group_lib_bytes(lengths, by_group[gi])
-            if cur and cur_bytes + b > _SEGMENT_LIB_BUDGET:
+            if cur and cur_bytes + b > seg_budget:
                 segments.append(cur)
                 cur, cur_bytes = [], 0
             cur.append(gi)
@@ -862,6 +880,17 @@ def multi_read_align(
     """
     n = len(reads)
     by_group, names = _split_groups(n, groups)
+
+    # The device walk and position arenas store read coordinates as int16
+    # (halves the HBM footprint and the tunnel readbacks); the reference
+    # accepts arbitrary lengths (src/DNA_input.cpp:106-116), so guard the
+    # boundary explicitly rather than wrapping silently on >32 kb reads.
+    max_len = int(reads.lengths.max(initial=0))
+    if max_len > MAX_MSA_READ_LEN:
+        raise ValueError(
+            f"multi_read_align supports reads up to {MAX_MSA_READ_LEN} bases "
+            f"(got {max_len}); split longer reads or raise the int32 path"
+        )
 
     use_mask = max_error is not None and not (
         isinstance(max_error, float) and np.isnan(max_error)

@@ -321,8 +321,13 @@ def _compact_jmat(jmat: np.ndarray, n: int) -> list:
     return out
 
 
-#: Max bytes of queued-but-uncollected pair-DP direction tensors.
-PAIR_INFLIGHT_BUDGET = 3 << 30
+def _pair_inflight_budget() -> int:
+    """Max bytes of queued-but-uncollected pair-DP direction tensors:
+    ~3/16 of free HBM at first probe (3 GiB on an idle 16 GB chip), since
+    PJRT allocates every queued launch's buffers at enqueue time."""
+    from ..utils.membudget import device_memory_budget
+
+    return device_memory_budget("pair_inflight", 3 / 16, 3 << 30)
 
 
 def _bkt_pow2(x: int, base: int) -> int:
@@ -546,6 +551,7 @@ def banded_pair_align(
     # ran, which frees its dirs and everything queued before it.
     inflight: list = []
     inflight_bytes = 0
+    inflight_budget = _pair_inflight_budget()
     for key in sorted(set(zip(rows_c.tolist(), W_c.tolist()))):
         idx = np.flatnonzero((rows_c == key[0]) & (W_c == key[1]))
         for c0 in range(0, idx.size, _pair_chunk(int(key[0]), int(key[1]))):
@@ -560,7 +566,7 @@ def banded_pair_align(
             nbytes = int(key[0]) * max(_bkt_pow2(sub.size, 8), 128) * int(key[1])
             inflight.append((sub, sc_dev, jmat_dev, nbytes))
             inflight_bytes += nbytes
-            while inflight_bytes > PAIR_INFLIGHT_BUDGET and len(inflight) > 1:
+            while inflight_bytes > inflight_budget and len(inflight) > 1:
                 inflight_bytes -= inflight[0][3]
                 _collect(inflight.pop(0))
     for item in inflight:
@@ -1062,6 +1068,7 @@ def pair_maps_device(
 
     inflight: list = []
     inflight_bytes = 0
+    inflight_budget = _pair_inflight_budget()
     for key in sorted(set(zip(rows_c.tolist(), W_c.tolist()))):
         idx = np.flatnonzero((rows_c == key[0]) & (W_c == key[1]))
         for c0 in range(0, idx.size, _pair_chunk(int(key[0]), int(key[1]))):
@@ -1077,7 +1084,7 @@ def pair_maps_device(
             nbytes = int(key[0]) * max(_bkt_pow2(sub.size, 8), 128) * int(key[1])
             inflight.append((sub, int(key[0]), jmat_dev, ident_dev, nbytes))
             inflight_bytes += nbytes
-            while inflight_bytes > PAIR_INFLIGHT_BUDGET and len(inflight) > 1:
+            while inflight_bytes > inflight_budget and len(inflight) > 1:
                 inflight_bytes -= inflight[0][4]
                 with _prof("msa.pair_place"):
                     _place(inflight.pop(0))

@@ -55,6 +55,9 @@ class PipelineProfiler:
             lines.append(
                 f"{name:<28}{st.calls:>7}{st.seconds:>10.3f}{ips:>12.1f}{st.gcups:>9.2f}"
             )
+        from .membudget import budget_report
+
+        lines.append(budget_report())
         return "\n".join(lines)
 
     @contextlib.contextmanager

@@ -39,6 +39,47 @@ def test_msa_reconstruction_and_consensus(rng):
     assert lev2_int(cons.seq_strings()[0], ref) <= 4  # near-perfect recovery
 
 
+def test_hand_derived_msa_goldens():
+    """Curated groups whose optimal multiple alignment is unique and written
+    down by hand — T-Coffee-layer bugs cannot hide behind co-optimality
+    (quick_msa.cpp:39-75 semantics; VERDICT r3 #8).
+
+    With the default scores (match 0, mismatch -1, open 5, extend 1) a
+    single gap costs 6, so substitution columns always beat compensating
+    gap pairs, and every deletion below sits between two distinct letters so
+    the gap column cannot slide.
+    """
+    cases = [
+        # 1. Identical reads: no gaps anywhere.
+        (["ACGTTGCA"] * 3, ["ACGTTGCA"] * 3),
+        # 2. One substitution: gapless alignment is uniquely optimal
+        #    (1 mismatch = -1 vs >= -12 for any gap pairing).
+        (
+            ["ACGTTGCA", "ACGATGCA", "ACGTTGCA"],
+            ["ACGTTGCA", "ACGATGCA", "ACGTTGCA"],
+        ),
+        # 3. Single internal deletion at a unique-letter context: the gap
+        #    must sit exactly where the A was (between T and G).
+        (
+            ["ACGTAGCT", "ACGTGCT", "ACGTAGCT"],
+            ["ACGTAGCT", "ACGT-GCT", "ACGTAGCT"],
+        ),
+        # 4. Majority short: the long read carries the only full column.
+        (
+            ["ACGTGCT", "ACGTGCT", "ACGTAGCT"],
+            ["ACGT-GCT", "ACGT-GCT", "ACGTAGCT"],
+        ),
+        # 5. Two distinct unique-context deletions (middle + leading edge).
+        (
+            ["ACGTAGCT", "ACGTGCT", "CGTAGCT"],
+            ["ACGTAGCT", "ACGT-GCT", "-CGTAGCT"],
+        ),
+    ]
+    for seqs, want in cases:
+        out = multi_read_align(SeqBatch.from_strings(seqs))
+        assert out["alignments"][0] == want, (seqs, out["alignments"][0])
+
+
 def test_single_and_empty_groups(rng):
     batch = SeqBatch.from_strings(["ACGTACGT", "ACGTACGA", "TTTT"])
     out = multi_read_align(batch, groups=[[2], [], [0, 1]])
@@ -54,6 +95,16 @@ def test_group_length_mismatch():
     batch = SeqBatch.from_strings(["ACGT", "ACGT"])
     with pytest.raises(ValueError, match="same"):
         multi_read_align(batch, groups=np.array([0, 0, 1]))
+
+
+def test_long_read_guard(rng):
+    """>32 kb reads would overflow the int16 position tensors; the reference
+    caps nothing (DNA_input.cpp:106-116), so the boundary must be an
+    explicit error, not silent wraparound (VERDICT r3 #7)."""
+    long_read = "".join(rng.choice(list("ACGT"), 40_000))
+    batch = SeqBatch.from_strings([long_read, long_read[:39_000]])
+    with pytest.raises(ValueError, match="32000"):
+        multi_read_align(batch)
 
 
 def test_masking_wired(rng):
