@@ -470,8 +470,7 @@ def _build_library_device(
     gb = np.asarray([by_group[g][y] for g, x, y in jobs])
     with profiler("msa.pair_library"):
         arena, stride, fracs = pair_maps_device(
-            codes[ga], lengths[ga], codes[gb], lengths[gb],
-            match, mismatch, go, ge, bandwidth,
+            codes, lengths, ga, gb, match, mismatch, go, ge, bandwidth,
         )
     gi_of_active = {gi: pos for pos, gi in enumerate(active)}
     for i, (gi, x, y) in enumerate(jobs):
@@ -526,7 +525,11 @@ def _build_library_device(
         table = jnp.zeros((t_cap, 3), jnp.uint16)
         counts = jnp.zeros(ncnt, jnp.int32)
         out_base = jnp.int32(0)
-        order: list[tuple[int, int, int]] = []
+        # Each pair owns a fixed STRC*SL block of table rows (the extension
+        # kernel packs kept entries to the block front); starts follow the
+        # chunk schedule deterministically, lengths come from counts.
+        seg_start: dict[tuple[int, int, int], int] = {}
+        base_at = 0
         arena_c: dict[int, object] = {stride: arena}
         for sl, strc in sorted(classes):
             prs = classes[(sl, strc)]
@@ -534,7 +537,9 @@ def _build_library_device(
                 arena_c[strc] = arena[:, :strc]
             for c0 in range(0, len(prs), CP):
                 chunk = prs[c0 : c0 + CP]
-                order.extend(chunk)
+                for r, key in enumerate(chunk):
+                    seg_start[key] = base_at + r * strc * sl
+                base_at += CP * strc * sl
                 xz = np.zeros((CP, sl), np.int32)
                 zy = np.zeros((CP, sl), np.int32)
                 ws = np.zeros((CP, sl), np.float32)
@@ -564,11 +569,8 @@ def _build_library_device(
         counts_np = np.asarray(counts).astype(np.int64)
 
     pair_seg: dict = {}
-    at = 0
-    for gi, x, y in order:
-        sz = int(counts_np[jobid[(gi, x, y)]])
-        pair_seg[(gi, x, y)] = (at, sz)
-        at += sz
+    for key, start in seg_start.items():
+        pair_seg[key] = (start, int(counts_np[jobid[key]]))
     lib_dev = (table, np.float32(1.0 / w_scale))
     return lib_dev, pair_seg, idents
 

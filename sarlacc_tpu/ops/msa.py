@@ -461,6 +461,53 @@ def _run_pair_bucket(
     return scores, jmat, ident
 
 
+def _run_pair_bucket_tab(
+    codes_tab, ia, ib, lens_a, lens_b, lo, hi,
+    match, mismatch, gap_open, gap_ext, bandwidth, rows_b, W_b,
+):
+    """Pallas-path bucket launch against the device-resident read table.
+
+    ``codes_tab`` [n, L] int8 device; ``ia``/``ib`` index the bucket's
+    pairs into it.  Per-bucket H2D is just the padded index vectors — the
+    code rows gather on device (one ``jnp.take`` each), so the table
+    crosses the ~25 MB/s tunnel once per ``pair_maps_device`` call instead
+    of once per bucket.  Same outputs as :func:`_run_pair_bucket` on the
+    Pallas path (scores, jmat in walk layout, ident).
+    """
+    P = ia.size
+    PL = 128
+    Pq = max(_bkt_pow2(max(P, 1), 8), PL)
+    ia_p = np.zeros(Pq, np.int32)
+    ia_p[:P] = ia
+    ib_p = np.zeros(Pq, np.int32)
+    ib_p[:P] = ib
+    lens_a_p = np.zeros(Pq, np.int32)
+    lens_a_p[:P] = lens_a
+    lens_b_p = np.zeros(Pq, np.int32)
+    lens_b_p[:P] = lens_b
+    lo_p = np.full(Pq, -bandwidth, np.int32)
+    lo_p[:P] = lo
+    hi_p = np.full(Pq, bandwidth, np.int32)
+    hi_p[:P] = hi
+
+    from .pallas_msa import banded_pair_pallas
+
+    ca = jnp.take(codes_tab, jnp.asarray(ia_p), axis=0)  # [Pq, L] int8
+    cb = jnp.take(codes_tab, jnp.asarray(ib_p), axis=0)
+    scores, dirs = banded_pair_pallas(
+        ca, cb, lens_a_p, lens_b_p, lo_p, hi_p - lo_p,
+        match, mismatch, gap_open, gap_ext, rows=rows_b, width=W_b,
+    )
+    jmat = _pair_walk_kernel(
+        dirs, jnp.asarray(lens_a_p), jnp.asarray(lens_b_p),
+        jnp.asarray(lo_p), wp_layout=True,
+    )
+    ident = _pair_ident_kernel(
+        jmat, ca.astype(jnp.int32), cb.astype(jnp.int32)
+    )
+    return scores, jmat, ident
+
+
 @jax.jit
 def _pair_ident_kernel(jmat, codes_a, codes_b):
     """Fractional identity per pair from the walk's jmat, on device.
@@ -994,19 +1041,27 @@ ARENA_IDENT_ROW = 1  # identity map: lets the base entries reuse the
 
 
 def pair_maps_device(
-    codes_a, lens_a, codes_b, lens_b,
+    codes, lengths, ga, gb,
     match, mismatch, gap_open, gap_ext, bandwidth,
 ):
-    """Align all J pairs and keep every path on device as dense maps.
+    """Align all (ga[i], gb[i]) read pairs; keep every path on device.
+
+    ``codes`` [n, L] int8 is uploaded ONCE as a device-resident read table
+    and pairs gather from it on device — per-bucket H2D is just the index
+    vectors (gathering code rows host-side cost ~23 s of the 10k-group
+    pair stage through the ~25 MB/s tunnel).
 
     Returns (arena [2 + 2J, stride] int16, stride, fracs [J] float64):
     job i's forward map (A-position -> matched B-position, 0 = none) is
     arena row ``2 + 2i``; the reverse map is row ``3 + 2i``.  ``fracs`` is
     the per-pair fractional identity (host numpy; it feeds the guide tree).
     """
-    J = codes_a.shape[0]
-    lens_a = np.asarray(lens_a, np.int32)
-    lens_b = np.asarray(lens_b, np.int32)
+    J = ga.shape[0] if hasattr(ga, "shape") else len(ga)
+    ga = np.asarray(ga, np.int64)
+    gb = np.asarray(gb, np.int64)
+    lengths = np.asarray(lengths)
+    lens_a = lengths[ga].astype(np.int32) if J else np.zeros(0, np.int32)
+    lens_b = lengths[gb].astype(np.int32) if J else np.zeros(0, np.int32)
 
     def _bkt(x, base):
         b = base
@@ -1066,6 +1121,13 @@ def pair_maps_device(
     # runs, so an unbounded dispatch loop OOMs at ~10k-read scale.
     from ..utils.profiling import profiler as _prof
 
+    from ..parallel.context import active_mesh
+    from .pallas_msa import msa_pallas_available, pallas_pair_fits
+
+    codes = np.asarray(codes)
+    use_tab = msa_pallas_available() and active_mesh() is None
+    codes_tab = jnp.asarray(codes, jnp.int8) if use_tab else None
+
     inflight: list = []
     inflight_bytes = 0
     inflight_budget = _pair_inflight_budget()
@@ -1074,11 +1136,18 @@ def pair_maps_device(
         for c0 in range(0, idx.size, _pair_chunk(int(key[0]), int(key[1]))):
             sub = idx[c0 : c0 + _pair_chunk(int(key[0]), int(key[1]))]
             with _prof("msa.pair_dispatch"):
-                _, jmat_dev, ident_dev = _run_pair_bucket(
-                    codes_a[sub], lens_a[sub], codes_b[sub], lens_b[sub],
-                    lo[sub], hi[sub], match, mismatch, gap_open, gap_ext,
-                    bandwidth, int(key[0]), int(key[1]),
-                )
+                if use_tab and pallas_pair_fits(int(key[0]), int(key[1])):
+                    _, jmat_dev, ident_dev = _run_pair_bucket_tab(
+                        codes_tab, ga[sub], gb[sub], lens_a[sub], lens_b[sub],
+                        lo[sub], hi[sub], match, mismatch, gap_open, gap_ext,
+                        bandwidth, int(key[0]), int(key[1]),
+                    )
+                else:
+                    _, jmat_dev, ident_dev = _run_pair_bucket(
+                        codes[ga[sub]], lens_a[sub], codes[gb[sub]],
+                        lens_b[sub], lo[sub], hi[sub], match, mismatch,
+                        gap_open, gap_ext, bandwidth, int(key[0]), int(key[1]),
+                    )
             # Pallas path pads pairs to a lane multiple (>=128); count
             # the real allocation so the in-flight window is honest.
             nbytes = int(key[0]) * max(_bkt_pow2(sub.size, 8), 128) * int(key[1])
@@ -1148,8 +1217,9 @@ def _extend_chunk_kernel(
     identity row; others = one middle sequence z each):
       k = arena[xz_rows[p,s], a];  b = arena[zy_rows[p,s], k];  w = w_slots.
     Per (p, a) the <= SL candidate b's sort (tiny lane-wise sort), duplicate
-    b's sum their weights, and surviving entries append to ``table`` at a
-    running device offset — no host round trip, no dynamic shapes.
+    b's sum their weights, and each pair's surviving entries pack to the
+    front of its fixed STRC*SL table block (see the packing comment below)
+    — no host round trip, no dynamic shapes.
 
     ``arena_c`` is ``arena[:, :STRC]`` (sliced once per chunk class by the
     caller): the composition volume is CP x SL x STRC, so pairs whose left
@@ -1182,43 +1252,45 @@ def _extend_chunk_kernel(
 
     a_idx = jnp.arange(STRC, dtype=jnp.int32)[None, :, None]
     keep = first & (a_idx > 0)
-    flatkeep = keep.reshape(-1)
-    N = CP * STRC * SL
+    M2 = STRC * SL
+    N = CP * M2
 
-    # Stream compaction.  A direct row scatter of all N candidates costs
-    # ~90 ns/row on TPU (it processes dropped updates too); inverting it —
-    # scatter the kept candidates' SOURCE indices, gather the packed rows,
-    # then one contiguous dynamic_update_slice — keeps the scatter scalar
-    # and turns the table write into a DMA.  Rows past the kept count are
-    # garbage; the next chunk overwrites them (or they sit past the final
-    # total, never referenced by any segment).
+    # Per-pair kept-first packing, NO cross-pair compaction.  Every global
+    # compaction scheme here is a trap on TPU: a 1D scatter over the N
+    # candidates is scalar (~90 ns/element — 190 ms per 2.1M-entry chunk,
+    # the whole r3 msa.triplet stage), and jnp.searchsorted over the cumsum
+    # lowers to a sequential scan (catastrophically worse).  Instead each
+    # pair keeps its FIXED STRC*SL block of table rows and one lax.sort per
+    # pair row moves kept entries to the block's front in (a, b) order;
+    # segment starts are the deterministic block offsets (the caller
+    # computes them from the chunk schedule) and segment lengths are the
+    # kept counts.  Dead rows sit past each segment's length, never read.
     #
     # Packing is TWO int32 words, NOT one int64: without jax x64 (the
     # default on TPU and bare CPU) ``astype(jnp.int64)`` silently truncates
     # to int32, so an ``a << 32`` pack would zero the a-column of EVERY
     # entry — a bug the x64-enabled test suite could never see.
-    hi32 = jnp.broadcast_to(a_idx, keep.shape).reshape(-1)
-    lo32 = (
+    hi2 = jnp.broadcast_to(a_idx, keep.shape).reshape(CP, M2)
+    lo2 = (
         (jnp.where(valid, key_s, 0) << 16)
         | jnp.rint(wsum * w_scale).astype(jnp.int32)
-    ).reshape(-1)
-    pos_local = jnp.cumsum(flatkeep.astype(jnp.int32)) - 1
-    src = jnp.zeros(N, jnp.int32)
-    src = src.at[jnp.where(flatkeep, pos_local, N)].set(
-        jnp.arange(N, dtype=jnp.int32), mode="drop"
+    ).reshape(CP, M2)
+    keep2 = keep.reshape(CP, M2)
+    idx2 = jax.lax.broadcasted_iota(jnp.int32, (CP, M2), 1)
+    sortkey = jnp.where(keep2, idx2, M2 + idx2)  # kept first, stable order
+    _, hi_s2, lo_s2 = jax.lax.sort(
+        (sortkey, hi2, lo2), dimension=1, num_keys=1
     )
-    bhi = hi32[src]
-    blo = lo32[src]
     block = jnp.stack(
         [
-            bhi.astype(jnp.uint16),
-            (blo >> 16).astype(jnp.uint16),
-            (blo & 0xFFFF).astype(jnp.uint16),
+            hi_s2.reshape(-1).astype(jnp.uint16),
+            (lo_s2.reshape(-1) >> 16).astype(jnp.uint16),
+            (lo_s2.reshape(-1) & 0xFFFF).astype(jnp.uint16),
         ],
         axis=1,
     )
     table = jax.lax.dynamic_update_slice(
         table, block, (out_base, jnp.int32(0))
     )
-    counts = counts.at[pair_ids].add(keep.sum(axis=(1, 2)).astype(jnp.int32))
-    return table, counts, out_base + flatkeep.sum(dtype=jnp.int32)
+    counts = counts.at[pair_ids].add(keep2.sum(axis=1).astype(jnp.int32))
+    return table, counts, out_base + jnp.int32(N)

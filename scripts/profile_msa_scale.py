@@ -45,6 +45,15 @@ def main():
     groups = np.repeat(np.arange(n_groups), per)
     print(f"[cfg] {n_groups} groups x {per} reads x {L} bp", file=sys.stderr)
 
+    # Warm the device claim AND the device->host transfer channel: the
+    # FIRST D2H per process pays the 30-450 s tunnel claim handshake
+    # (measured 263 s for a [512,4096] readback that costs 0.1 ms warm),
+    # which must not be charged to the steady-state MSA measurement.
+    import jax
+    import jax.numpy as jnp
+
+    np.asarray(jnp.zeros(8, jnp.int32) + 1)
+
     set_profiler(PipelineProfiler())
     t0 = time.time()
     out = st.multi_read_align(batch, groups=groups, bandwidth=100)

@@ -295,6 +295,45 @@ def test_pallas_pair_parity_ladder(rng, rows, W):
     assert np.array_equal(np.where(live, d_ref, 0), np.where(live, d_pal, 0))
 
 
+def test_pair_bucket_tab_matches_host_gather(rng):
+    """The device-read-table bucket launch (index gather on device) equals
+    the host-gathered bucket on scores, walk jmat and identities."""
+    import jax.numpy as jnp
+
+    from sarlacc_tpu.ops.msa import _run_pair_bucket, _run_pair_bucket_tab
+
+    n, L = 40, 90
+    codes = rng.integers(0, 4, (n, L)).astype(np.int8)
+    lengths = rng.integers(70, L + 1, n).astype(np.int32)
+    ia = rng.integers(0, n, 20).astype(np.int64)
+    ib = rng.integers(0, n, 20).astype(np.int64)
+    bw = 8
+    la, lb = lengths[ia], lengths[ib]
+    diffs = lb.astype(np.int64) - la.astype(np.int64)
+    lo = (np.minimum(0, diffs) - bw).astype(np.int32)
+    hi = (np.maximum(0, diffs) + bw).astype(np.int32)
+    rows_b, W_b = 128, 64
+
+    s_tab, jm_tab, id_tab = _run_pair_bucket_tab(
+        jnp.asarray(codes, jnp.int8), ia, ib, la, lb, lo, hi,
+        0.0, -1.0, 5.0, 1.0, bw, rows_b, W_b,
+    )
+    s_h, jm_h, id_h = _run_pair_bucket(
+        codes[ia].astype(np.int32), la, codes[ib].astype(np.int32), lb,
+        lo, hi, 0.0, -1.0, 5.0, 1.0, bw, rows_b, W_b,
+    )
+    k = ia.size
+    np.testing.assert_allclose(
+        np.asarray(s_tab)[:k], np.asarray(s_h)[:k], rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jm_tab)[:, :k], np.asarray(jm_h)[:, :k]
+    )
+    np.testing.assert_allclose(
+        np.asarray(id_tab)[:k], np.asarray(id_h)[:k], rtol=1e-6
+    )
+
+
 def test_device_library_without_x64(rng):
     """Device vs host library parity in DEFAULT (32-bit) jax mode.
 
