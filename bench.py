@@ -67,6 +67,14 @@ _VPU_OPS_PER_S = {
 }
 KERNEL_OPS_PER_CELL = 45.0
 
+#: Hardware-measured structural ceiling for the score kernel's shape
+#: (serial column chain, l1=256, 128-lane blocks): the fully-ablated
+#: skeleton variant's device rate (scripts/microbench_score_ablation.py,
+#: v5e r4 — docs/kernel_roofline.md).  The static census roofline above is
+#: kept for reference but measured both ways as wrong: plane-op throughput
+#: is 2-3x nominal while the dependent column chain binds far below it.
+MEASURED_ROOFLINE_GCUPS = 128.9
+
 
 def _roofline_gcups() -> float:
     import jax
@@ -233,8 +241,9 @@ def bench_demux(n_reads=100_000, tolerance=250, n_barcodes=12, bc_len=12, seed=3
         "gcups_wall": round(cells / elapsed / 1e9, 2),
         "kernel_ms": round(kdt * 1e3, 2),
         "kernel_gcups": round(kernel_gcups, 2),
-        "roofline_gcups": round(roofline, 1),
-        "roofline_frac": round(kernel_gcups / roofline, 4),
+        "census_roofline_gcups": round(roofline, 1),
+        "measured_roofline_gcups": MEASURED_ROOFLINE_GCUPS,
+        "roofline_frac": round(kernel_gcups / MEASURED_ROOFLINE_GCUPS, 4),
     }
 
 
