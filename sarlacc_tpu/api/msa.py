@@ -343,7 +343,9 @@ def _run_merge_wave(lib_dev, wave, descs):
     dispatch/collect split queues all classes on device before paying any
     tunnel round trip (~25 ms each) for the readbacks.
     """
-    from ..ops.msa import merge_wave_from_library, _compact_jmat
+    import jax.numpy as jnp
+
+    from ..ops.msa import _pack_jmat_kernel, merge_wave_from_library
 
     def _bkt(x, base):
         b = base
@@ -362,15 +364,30 @@ def _run_merge_wave(lib_dev, wave, descs):
     for rb, idxs in classes.items():
         wb = _bkt(max(descs[i]["kmax"] + 1 for i in idxs), 64)
         jmat_dev = merge_wave_from_library(lib_dev, [descs[i] for i in idxs], rb, wb)
-        inflight.append((idxs, jmat_dev))
+        # Pack exact per-merge row runs on device: only the real path rows
+        # cross the tunnel (the padded [rows_b, Pp] plane is ~3x larger).
+        las = np.asarray([descs[i]["la"] for i in idxs], np.int64)
+        starts = np.zeros(las.size + 1, np.int32)
+        np.cumsum(las, out=starts[1:])
+        T = int(starts[-1])
+        Tb = max(((T + (1 << 16) - 1) >> 16) << 16, 1 << 16)
+        flat_dev = _pack_jmat_kernel(
+            jmat_dev,
+            jnp.asarray(starts),
+            jnp.asarray(np.arange(las.size, dtype=np.int32)),
+            T=Tb,
+        )
+        inflight.append((idxs, las, starts, flat_dev))
     from ..utils.profiling import profiler
 
     paths: list = [None] * len(descs)
     with profiler("msa.merge_readback"):
-        for idxs, jmat_dev in inflight:
-            sub = _compact_jmat(np.asarray(jmat_dev), len(idxs))
+        for idxs, las, starts, flat_dev in inflight:
+            flat = np.asarray(flat_dev)
             for k, i in enumerate(idxs):
-                paths[i] = sub[k]
+                seg = flat[starts[k] : starts[k] + las[k]]
+                rr = np.flatnonzero(seg)
+                paths[i] = ((rr + 1).astype(np.int32), seg[rr].astype(np.int32))
     return paths
 
 
@@ -469,7 +486,7 @@ def _build_library_device(
     ga = np.asarray([by_group[g][x] for g, x, y in jobs])
     gb = np.asarray([by_group[g][y] for g, x, y in jobs])
     with profiler("msa.pair_library"):
-        arena, stride, fracs = pair_maps_device(
+        arena, stride, fracs, arow = pair_maps_device(
             codes, lengths, ga, gb, match, mismatch, go, ge, bandwidth,
         )
     gi_of_active = {gi: pos for pos, gi in enumerate(active)}
@@ -478,10 +495,11 @@ def _build_library_device(
         idents[pos][x, y] = idents[pos][y, x] = fracs[i]
 
     def dir_row(gi, u, v):
-        """Arena row holding the u -> v position map."""
+        """Arena row holding the u -> v position map (dispatch-order
+        slabs — see pair_maps_device's contiguous-placement pre-pass)."""
         if u < v:
-            return 2 + 2 * jobid[(gi, u, v)]
-        return 3 + 2 * jobid[(gi, v, u)]
+            return int(arow[jobid[(gi, u, v)]])
+        return int(arow[jobid[(gi, v, u)]]) + 1
 
     # Chunk output pairs by slot-count class (SL = bucketed g-1: the base
     # slot plus one per middle sequence).

@@ -918,6 +918,28 @@ def _merge_dp_walk(cost, la, lb, lo, kmax):
     return _merge_walk_kernel(dirs, la, lb, lo)
 
 
+@functools.partial(jax.jit, static_argnames=("T",))
+def _pack_jmat_kernel(jmat, starts, cols, T: int):
+    """Pack each merge's leading ``la`` jmat rows into one flat int16 run.
+
+    The raw wave jmat is [rows_b, Pp] with pow2 padding on both axes —
+    reading it back whole moved ~3x the real path data through the
+    ~25 MB/s tunnel (37 s of the 10k-group MSA).  ``starts`` [S+1] is the
+    exclusive scan of the per-merge row counts (starts[S] = total);
+    ``cols`` [S] maps segments to jmat columns.  Output element t is
+    ``jmat[t - starts[m], cols[m]]`` for t's segment m — segment lookup is
+    a tiny scatter + cumsum (no searchsorted: that lowers to a sequential
+    scan on TPU).
+    """
+    rows, _ = jmat.shape
+    marks = jnp.zeros(T + 1, jnp.int32).at[jnp.clip(starts[1:], 0, T)].add(1)
+    m_of_t = jnp.cumsum(marks)[:T]
+    t_arr = jnp.arange(T, dtype=jnp.int32)
+    row = t_arr - starts[jnp.minimum(m_of_t, starts.shape[0] - 1)]
+    col = cols[jnp.minimum(m_of_t, cols.shape[0] - 1)]
+    return jmat[jnp.clip(row, 0, rows - 1), col]
+
+
 #: Entries per _merge_accum_kernel launch: bounds the chunk's per-entry
 #: temporaries ([EC, 3]-row-gather padding included) to a few hundred MB.
 MERGE_ENTRY_CHUNK = 1 << 21
@@ -1095,24 +1117,20 @@ def pair_maps_device(
     # rows — stride directly scales every extension chunk's work.
     lmax = int(max(lens_a.max(initial=1), lens_b.max(initial=1)))
     stride = _bkt(lmax + 1, 128)
-    R = _bkt(2 + 2 * J, 64)
-    arena = jnp.zeros((R, stride), jnp.int16)
-    arena = arena.at[ARENA_IDENT_ROW].set(jnp.arange(stride, dtype=jnp.int16))
     if J == 0:
-        return arena, stride, np.zeros(0, np.float64)
+        arena = jnp.zeros((64, stride), jnp.int16)
+        arena = arena.at[ARENA_IDENT_ROW].set(
+            jnp.arange(stride, dtype=jnp.int16)
+        )
+        return arena, stride, np.zeros(0, np.float64), np.zeros(0, np.int64)
 
     fracs = np.zeros(J, np.float64)
 
     def _place(item):
         nonlocal arena
-        idx, rows_b, jmat_dev, ident_dev, _ = item
-        Pb = jmat_dev.shape[1]
-        fr = np.full(Pb, R, np.int32)  # pad rows land out of bounds -> drop
-        rr = np.full(Pb, R, np.int32)
-        fr[: idx.size] = 2 + 2 * idx
-        rr[: idx.size] = 3 + 2 * idx
+        idx, rows_b, jmat_dev, ident_dev, _, slab = item
         arena = _arena_place_kernel(
-            arena, jmat_dev, jnp.asarray(fr), jnp.asarray(rr), rows=rows_b
+            arena, jmat_dev, jnp.int32(slab), rows=rows_b
         )
         fracs[idx] = np.asarray(ident_dev, np.float64)[: idx.size]
 
@@ -1121,20 +1139,40 @@ def pair_maps_device(
     # runs, so an unbounded dispatch loop OOMs at ~10k-read scale.
     from ..utils.profiling import profiler as _prof
 
-    from ..parallel.context import active_mesh
+    from ..parallel.context import active_mesh, mesh_size
     from .pallas_msa import msa_pallas_available, pallas_pair_fits
 
     codes = np.asarray(codes)
-    use_tab = msa_pallas_available() and active_mesh() is None
+    mesh0 = active_mesh()
+    use_tab = msa_pallas_available() and mesh0 is None
     codes_tab = jnp.asarray(codes, jnp.int8) if use_tab else None
 
-    inflight: list = []
-    inflight_bytes = 0
-    inflight_budget = _pair_inflight_budget()
+    # Pre-pass: assign every bucket chunk a CONTIGUOUS arena slab (rows
+    # 0 = zero map, 1 = identity, then 2 rows per dispatched pair slot in
+    # dispatch order) so placement is one dynamic_update_slice DMA instead
+    # of scalar scatters.  Slabs reserve the worst-case padded pair count;
+    # unwritten slack rows stay zero and are never referenced.
+    chunk_list = []
+    arow = np.zeros(J, np.int64)
+    next_row = 2
     for key in sorted(set(zip(rows_c.tolist(), W_c.tolist()))):
         idx = np.flatnonzero((rows_c == key[0]) & (W_c == key[1]))
         for c0 in range(0, idx.size, _pair_chunk(int(key[0]), int(key[1]))):
             sub = idx[c0 : c0 + _pair_chunk(int(key[0]), int(key[1]))]
+            pb = max(_bkt_pow2(sub.size, 8), 128)
+            if mesh0 is not None:
+                pb += (-pb) % mesh_size(mesh0)
+            arow[sub] = next_row + 2 * np.arange(sub.size)
+            chunk_list.append((key, sub, next_row))
+            next_row += 2 * pb
+    R = _bkt(next_row, 64)
+    arena = jnp.zeros((R, stride), jnp.int16)
+    arena = arena.at[ARENA_IDENT_ROW].set(jnp.arange(stride, dtype=jnp.int16))
+
+    inflight: list = []
+    inflight_bytes = 0
+    inflight_budget = _pair_inflight_budget()
+    for key, sub, slab in chunk_list:
             with _prof("msa.pair_dispatch"):
                 if use_tab and pallas_pair_fits(int(key[0]), int(key[1])):
                     _, jmat_dev, ident_dev = _run_pair_bucket_tab(
@@ -1151,7 +1189,7 @@ def pair_maps_device(
             # Pallas path pads pairs to a lane multiple (>=128); count
             # the real allocation so the in-flight window is honest.
             nbytes = int(key[0]) * max(_bkt_pow2(sub.size, 8), 128) * int(key[1])
-            inflight.append((sub, int(key[0]), jmat_dev, ident_dev, nbytes))
+            inflight.append((sub, int(key[0]), jmat_dev, ident_dev, nbytes, slab))
             inflight_bytes += nbytes
             while inflight_bytes > inflight_budget and len(inflight) > 1:
                 inflight_bytes -= inflight[0][4]
@@ -1160,19 +1198,24 @@ def pair_maps_device(
     for item in inflight:
         with _prof("msa.pair_place"):
             _place(item)
-    return arena, stride, fracs
+    return arena, stride, fracs, arow
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("rows",))
-def _arena_place_kernel(arena, jmat, fwd_rows, rev_rows, rows: int):
-    """Place one bucket's jmats into the arena as forward + reverse rows.
+def _arena_place_kernel(arena, jmat, row0, rows: int):
+    """Place one bucket's jmats into a CONTIGUOUS arena slab at ``row0``.
+
+    Every scatter formulation here is scalar on TPU (~90 ns/element: the
+    old flat reverse-map scatter plus two row scatters cost ~0.5 s per
+    bucket — 30 s of the 10k-group MSA).  Bucket slabs are now contiguous
+    (pair_maps_device assigns arena rows in dispatch order), so the write
+    is ONE dynamic_update_slice DMA of the interleaved fwd/rev planes, and
+    the reverse maps build gather-only: matched (b, a) pairs sort by b per
+    pair row (paths are monotone, so b values are unique and sorted search
+    is exact) and a vectorized binary search spreads them over the b axis.
 
     DP rows beyond ``stride - 1`` are padding (positions never exceed the
-    true max length the stride was sized from) and are sliced away.  The
-    reverse maps scatter straight into the flat arena (one 1D scatter of
-    the matched positions) — materializing [Pb, stride] reverse planes and
-    row-scattering them cost ~0.4 s per bucket at 8k pairs.  Reverse rows
-    are zeroed first via the same row scatter that writes the forward rows.
+    true max length the stride was sized from) and are sliced away.
     """
     Pb = jmat.shape[1]
     stride = arena.shape[1]
@@ -1182,26 +1225,32 @@ def _arena_place_kernel(arena, jmat, fwd_rows, rev_rows, rows: int):
         fwd, jmat.T[:, :take].astype(arena.dtype), (0, 1)
     )
     cols = fwd[:, 1 : take + 1].astype(jnp.int32)  # matched b per a (0 dead)
-    arena = arena.at[fwd_rows].set(fwd, mode="drop")
-    arena = arena.at[rev_rows].set(jnp.zeros((Pb, stride), arena.dtype), mode="drop")
+
+    BIG = jnp.int32(1) << 24
+    keyb = jnp.where(cols > 0, cols, BIG)
     avals = jnp.broadcast_to(
         jnp.arange(1, take + 1, dtype=jnp.int32)[None, :], cols.shape
-    ).astype(arena.dtype)
-    size = arena.shape[0] * stride
-    flatidx = jnp.where(
-        cols > 0,
-        rev_rows[:, None].astype(jnp.int32) * stride + cols,
-        size,  # dropped
     )
-    # pad rows carry rev_rows == R (out of bounds) -> index >= size -> drop.
-    flatidx = jnp.where(rev_rows[:, None] < arena.shape[0], flatidx, size)
-    arena = (
-        arena.reshape(-1)
-        .at[flatidx.reshape(-1)]
-        .set(avals.reshape(-1), mode="drop")
-        .reshape(arena.shape[0], stride)
-    )
-    return arena
+    bs, a_of = jax.lax.sort((keyb, avals), dimension=1, num_keys=1)
+    barr = jnp.arange(stride, dtype=jnp.int32)[None, :]
+    lo = jnp.zeros((Pb, stride), jnp.int32)
+    hi = jnp.full((Pb, stride), take, jnp.int32)
+    steps = 1
+    while (1 << steps) < take + 1:
+        steps += 1
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        v = jnp.take_along_axis(bs, jnp.minimum(mid, take - 1), axis=1)
+        lt = v < barr
+        lo = jnp.where(lt, mid + 1, lo)
+        hi = jnp.where(lt, hi, mid)
+    idx = jnp.minimum(lo, take - 1)
+    v = jnp.take_along_axis(bs, idx, axis=1)
+    a_at = jnp.take_along_axis(a_of, idx, axis=1)
+    rev = jnp.where(v == barr, a_at, 0).astype(arena.dtype)
+
+    inter = jnp.stack([fwd, rev], axis=1).reshape(2 * Pb, stride)
+    return jax.lax.dynamic_update_slice(arena, inter, (row0, jnp.int32(0)))
 
 
 @functools.partial(
