@@ -131,38 +131,65 @@ def consensus_read_seq(
 
     seqs: list[str] = [""] * ngroups
     phreds: list[str] = [""] * ngroups
-    for (gpad, wpad), idxs in buckets.items():
-        # Padded groups are all-gap with naligns=0; their outputs are never
-        # read (only the first len(idxs) batch rows are consumed below).
-        b = pad_to_mesh(len(idxs), mesh)
-        codes = np.full((b, gpad, wpad), 5, dtype=np.int8)
-        naligns = np.zeros(b, dtype=np.int32)
-        epsb = np.full((b, gpad, wpad), 0.5, dtype=np.float64)
-        for k, i in enumerate(idxs):
-            g, w = enc[i].shape
-            codes[k, :g, :w] = enc[i]
-            naligns[k] = g
-            if has_quals:
-                epsb[k, :g, :w] = eps[i]
-        with use_mesh(mesh):
-            if has_quals:
-                codes, epsb, naligns = shard_batch(codes, epsb, naligns)
-                keep, best, err = consensus_quality_dev(
-                    codes, epsb, naligns, float(min_coverage)
-                )
-            else:
-                codes, naligns = shard_batch(codes, naligns)
-                keep, best, err = consensus_basic_dev(
-                    codes, naligns, float(min_coverage), float(pseudo_count)
-                )
-        keep = np.asarray(keep)
-        best = np.asarray(best)
-        err = np.asarray(err, dtype=np.float64)
-        for k, i in enumerate(idxs):
-            w = enc[i].shape[1]
-            cols = np.flatnonzero(keep[k, :w])
-            seqs[i] = _BASES[best[k, cols]].tobytes().decode()
-            phreds[i] = errors_to_phred_string(err[k, cols])
+    #: Byte budget for one launch's eps plane (f64, the largest operand).
+    #: Unchunked buckets built a single [47.5k, 16, 1024] f64 batch at the
+    #: vignette-scale bench — a 6.2 GB host array whose one-shot compile
+    #: crashed the remote compile helper.  Chunks are pow2-padded so the
+    #: compile count stays bounded.
+    CHUNK_BYTES = 256 << 20
+    for (gpad, wpad), all_idxs in buckets.items():
+        cb = max(16, CHUNK_BYTES // (gpad * wpad * 8))
+        p2 = 16
+        while p2 * 2 <= cb:
+            p2 *= 2
+        chunks = [
+            all_idxs[c0 : c0 + p2] for c0 in range(0, len(all_idxs), p2)
+        ]
+        for idxs in chunks:
+            _consensus_chunk(
+                idxs, gpad, wpad, min(p2, _bucket_up(len(idxs))), enc, eps,
+                has_quals, mesh, min_coverage, pseudo_count, seqs, phreds,
+            )
 
     out = SeqBatch.from_strings(seqs, phreds, names)
     return out
+
+
+def _consensus_chunk(
+    idxs, gpad, wpad, bcap, enc, eps, has_quals, mesh, min_coverage,
+    pseudo_count, seqs, phreds,
+):
+    """One bounded consensus launch; writes results into seqs/phreds."""
+    from ..parallel.context import pad_to_mesh, use_mesh, shard_batch
+
+    # Padded groups are all-gap with naligns=0; their outputs are never
+    # read (only the first len(idxs) batch rows are consumed below).
+    b = pad_to_mesh(max(bcap, len(idxs)), mesh)
+    codes = np.full((b, gpad, wpad), 5, dtype=np.int8)
+    naligns = np.zeros(b, dtype=np.int32)
+    epsb = np.full((b, gpad, wpad), 0.5, dtype=np.float64)
+    for k, i in enumerate(idxs):
+        g, w = enc[i].shape
+        codes[k, :g, :w] = enc[i]
+        naligns[k] = g
+        if has_quals:
+            epsb[k, :g, :w] = eps[i]
+    with use_mesh(mesh):
+        if has_quals:
+            codes, epsb, naligns = shard_batch(codes, epsb, naligns)
+            keep, best, err = consensus_quality_dev(
+                codes, epsb, naligns, float(min_coverage)
+            )
+        else:
+            codes, naligns = shard_batch(codes, naligns)
+            keep, best, err = consensus_basic_dev(
+                codes, naligns, float(min_coverage), float(pseudo_count)
+            )
+    keep = np.asarray(keep)
+    best = np.asarray(best)
+    err = np.asarray(err, dtype=np.float64)
+    for k, i in enumerate(idxs):
+        w = enc[i].shape[1]
+        cols = np.flatnonzero(keep[k, :w])
+        seqs[i] = _BASES[best[k, cols]].tobytes().decode()
+        phreds[i] = errors_to_phred_string(err[k, cols])
