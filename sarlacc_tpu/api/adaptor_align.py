@@ -65,8 +65,19 @@ def adaptor_align(
         raise ValueError("exactly one of filepath or reads must be supplied")
 
     if reads is not None:
-        chunks = [reads]
-        pad_n = None
+        if len(reads) > number:
+            # In-memory batches chunk exactly like file streams: one
+            # unchunked 500k-read batch asks the dirs path for a ~130 GB
+            # cost-plane gather (R/adaptorAlign.R:26-36 streams for the
+            # same reason).
+            chunks = (
+                reads.take(np.arange(c0, min(c0 + number, len(reads))))
+                for c0 in range(0, len(reads), number)
+            )
+            pad_n = number
+        else:
+            chunks = [reads]
+            pad_n = None
     else:
         chunks = stream_fastq(filepath, chunk_size=number)
         pad_n = number

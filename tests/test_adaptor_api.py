@@ -77,6 +77,27 @@ def test_empty_input():
     assert out.colnames == ["read.width", "adaptor1", "adaptor2", "reversed"]
 
 
+def test_inmemory_chunking_matches_unchunked(mock_fastq):
+    """In-memory batches above ``number`` reads stream in chunks exactly
+    like file input (an unchunked 500k batch OOMed the vignette-scale
+    bench); results must be identical to the one-chunk run."""
+    from sarlacc_tpu.io.fastq import read_fastq
+
+    batch = read_fastq(mock_fastq)
+    whole = st.adaptor_align(ADAPTOR1, ADAPTOR2, reads=batch, tolerance=80)
+    chunked = st.adaptor_align(
+        ADAPTOR1, ADAPTOR2, reads=batch, tolerance=80, number=7
+    )
+    assert len(whole) == len(chunked)
+    assert np.array_equal(whole["reversed"], chunked["reversed"])
+    for ad in ("adaptor1", "adaptor2"):
+        for col in ("score", "start", "end"):
+            assert np.allclose(
+                np.asarray(whole[ad][col], float),
+                np.asarray(chunked[ad][col], float),
+            ), (ad, col)
+
+
 def test_filter_and_realize(mock_fastq, aligned):
     fp, _ = mock_fastq
     thr = st.get_adaptor_thresholds(aligned, error=0.05)
