@@ -83,7 +83,7 @@ def test_inmemory_chunking_matches_unchunked(mock_fastq):
     bench); results must be identical to the one-chunk run."""
     from sarlacc_tpu.io.fastq import read_fastq
 
-    batch = read_fastq(mock_fastq)
+    batch = read_fastq(mock_fastq[0])
     whole = st.adaptor_align(ADAPTOR1, ADAPTOR2, reads=batch, tolerance=80)
     chunked = st.adaptor_align(
         ADAPTOR1, ADAPTOR2, reads=batch, tolerance=80, number=7
