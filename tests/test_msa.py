@@ -295,6 +295,31 @@ def test_pallas_pair_parity_ladder(rng, rows, W):
     assert np.array_equal(np.where(live, d_ref, 0), np.where(live, d_pal, 0))
 
 
+def test_pack_jmat_kernel(rng):
+    """Device flat-packing of per-merge jmat row runs == direct slicing."""
+    import jax.numpy as jnp
+
+    from sarlacc_tpu.ops.msa import _pack_jmat_kernel
+
+    rows, P = 128, 24
+    jmat = rng.integers(0, 300, (rows, P)).astype(np.int16)
+    las = rng.integers(1, rows + 1, P).astype(np.int64)
+    starts = np.zeros(P + 1, np.int32)
+    np.cumsum(las, out=starts[1:])
+    T = int(starts[-1])
+    Tb = ((T + 63) // 64) * 64
+    flat = np.asarray(
+        _pack_jmat_kernel(
+            jnp.asarray(jmat), jnp.asarray(starts),
+            jnp.asarray(np.arange(P, dtype=np.int32)), T=Tb,
+        )
+    )
+    for m in range(P):
+        np.testing.assert_array_equal(
+            flat[starts[m] : starts[m] + las[m]], jmat[: las[m], m], err_msg=str(m)
+        )
+
+
 def test_pair_bucket_tab_matches_host_gather(rng):
     """The device-read-table bucket launch (index gather on device) equals
     the host-gathered bucket on scores, walk jmat and identities."""
