@@ -64,23 +64,26 @@ def adaptor_align(
     if (filepath is None) == (reads is None):
         raise ValueError("exactly one of filepath or reads must be supplied")
 
+    # Each chunk launches STACKED (front+back interleavings), so the device
+    # batch is 2x the chunk size; stride at number//2 to keep every launch
+    # at the `number`-read width the demux/score paths already validate.
+    # (One unchunked 500k in-memory batch asked the dirs path for a ~130 GB
+    # cost-plane gather, and a 2e5-wide stacked dirs launch hung the remote
+    # service — R/adaptorAlign.R:26-36 streams for the same reason.)
+    stride = max(1, number // 2)
     if reads is not None:
-        if len(reads) > number:
-            # In-memory batches chunk exactly like file streams: one
-            # unchunked 500k-read batch asks the dirs path for a ~130 GB
-            # cost-plane gather (R/adaptorAlign.R:26-36 streams for the
-            # same reason).
+        if len(reads) > stride:
             chunks = (
-                reads.take(np.arange(c0, min(c0 + number, len(reads))))
-                for c0 in range(0, len(reads), number)
+                reads.take(np.arange(c0, min(c0 + stride, len(reads))))
+                for c0 in range(0, len(reads), stride)
             )
-            pad_n = number
+            pad_n = stride
         else:
             chunks = [reads]
             pad_n = None
     else:
-        chunks = stream_fastq(filepath, chunk_size=number)
-        pad_n = number
+        chunks = stream_fastq(filepath, chunk_size=stride)
+        pad_n = stride
 
     starts_parts: list[Frame] = []
     ends_parts: list[Frame] = []
