@@ -138,9 +138,10 @@ def run_pipeline(adaptor1, adaptor2, batch, tolerance=250, timings=None):
     return len(batch), len(cons)
 
 
-def bench_pipeline(n_molecules=950):
+def bench_pipeline(n_molecules=950, warmup=True):
     adaptor1, adaptor2, batch = build_workload(n_molecules=n_molecules)
-    run_pipeline(adaptor1, adaptor2, batch)  # warmup: compile every bucket
+    if warmup:
+        run_pipeline(adaptor1, adaptor2, batch)  # warmup: compile every bucket
 
     timings: list = []
     t0 = time.time()
@@ -289,7 +290,12 @@ def main():
         # Vignette-scale config (BASELINE.json: "~500k reads"): ~50 min on
         # one v5e chip, so it only runs when explicitly requested.
         try:
-            configs["pipeline_500k"] = bench_pipeline(n_molecules=47_500)
+            # No second warmup pass: the 10k pipeline above already compiled
+            # the shared buckets and the persistent cache covers the rest —
+            # a warmed 500k pass doubles a ~40 min config for <2% effect.
+            configs["pipeline_500k"] = bench_pipeline(
+                n_molecules=47_500, warmup=False
+            )
             print(
                 f"[bench] pipeline_500k: {configs['pipeline_500k']}",
                 file=sys.stderr,
