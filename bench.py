@@ -73,7 +73,17 @@ KERNEL_OPS_PER_CELL = 45.0
 #: v5e r4 — docs/kernel_roofline.md).  The static census roofline above is
 #: kept for reference but measured both ways as wrong: plane-op throughput
 #: is 2-3x nominal while the dependent column chain binds far below it.
-MEASURED_ROOFLINE_GCUPS = 128.9
+#: Keyed by device kind — the figure is chip-specific, and reporting it on
+#: an unmeasured generation would be wrong while looking authoritative
+#: (ADVICE r4); ``roofline_frac`` is emitted only for measured chips.
+MEASURED_ROOFLINE_GCUPS = {"v5e": 128.9}
+
+
+def _device_kind_key() -> str:
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    return "v5e" if ("lite" in kind or "v5e" in kind) else kind or "unknown"
 
 
 def _roofline_gcups() -> float:
@@ -138,25 +148,50 @@ def run_pipeline(adaptor1, adaptor2, batch, tolerance=250, timings=None):
     return len(batch), len(cons)
 
 
-def bench_pipeline(n_molecules=950, warmup=True):
+def bench_pipeline(n_molecules=950, warmup=True, passes=3):
+    """Median-of-``passes`` timed pipeline runs.
+
+    The shared TPU tunnel shows +/-30% wall drift across identical warm
+    runs (docs/performance.md), so a single pass can't attribute
+    round-over-round deltas; the median of 3 passes plus the min/max spread
+    makes them trustworthy (VERDICT r4 #4).  Stage seconds come from the
+    median pass.
+    """
     adaptor1, adaptor2, batch = build_workload(n_molecules=n_molecules)
     if warmup:
         run_pipeline(adaptor1, adaptor2, batch)  # warmup: compile every bucket
+        n_timed = passes
+    else:
+        # Unwarmed configs (pipeline_500k) fold compile cost into pass 1;
+        # one pass only — the config exists to prove scale, not stability.
+        n_timed = 1
 
-    timings: list = []
-    t0 = time.time()
-    nreads, _ = run_pipeline(adaptor1, adaptor2, batch, timings=timings)
-    elapsed = time.time() - t0
-    stages = {
-        name: round(t - prev, 3)
-        for (name, t), (_, prev) in zip(timings[1:], timings[:-1])
+    runs = []
+    for _ in range(n_timed):
+        timings: list = []
+        t0 = time.time()
+        nreads, _ = run_pipeline(adaptor1, adaptor2, batch, timings=timings)
+        elapsed = time.time() - t0
+        stages = {
+            name: round(t - prev, 3)
+            for (name, t), (_, prev) in zip(timings[1:], timings[:-1])
+        }
+        runs.append((elapsed, stages, nreads))
+    runs.sort(key=lambda r: r[0])
+    med = runs[len(runs) // 2]
+    out = {
+        "reads_per_s": round(med[2] / med[0], 2),
+        "n_reads": med[2],
+        "seconds": round(med[0], 3),
+        "stages": med[1],
     }
-    return {
-        "reads_per_s": round(nreads / elapsed, 2),
-        "n_reads": nreads,
-        "seconds": round(elapsed, 3),
-        "stages": stages,
-    }
+    if n_timed > 1:
+        out["passes"] = n_timed
+        out["seconds_all"] = sorted(round(r[0], 3) for r in runs)
+        out["spread_frac"] = round(
+            (runs[-1][0] - runs[0][0]) / med[0], 3
+        )
+    return out
 
 
 def _random_reads(n, length, seed):
@@ -234,7 +269,7 @@ def bench_demux(n_reads=100_000, tolerance=250, n_barcodes=12, bc_len=12, seed=3
     cells = n_reads * tolerance * 2 * (len(a1) + len(a2))
     roofline = _roofline_gcups()
     kernel_gcups = kcells / kdt / 1e9
-    return {
+    out = {
         "reads_per_s": round(n_reads / elapsed, 1),
         "n_reads": n_reads,
         "seconds": round(elapsed, 3),
@@ -243,9 +278,12 @@ def bench_demux(n_reads=100_000, tolerance=250, n_barcodes=12, bc_len=12, seed=3
         "kernel_ms": round(kdt * 1e3, 2),
         "kernel_gcups": round(kernel_gcups, 2),
         "census_roofline_gcups": round(roofline, 1),
-        "measured_roofline_gcups": MEASURED_ROOFLINE_GCUPS,
-        "roofline_frac": round(kernel_gcups / MEASURED_ROOFLINE_GCUPS, 4),
     }
+    measured = MEASURED_ROOFLINE_GCUPS.get(_device_kind_key())
+    if measured:  # only on chips the ceiling was actually measured on
+        out["measured_roofline_gcups"] = measured
+        out["roofline_frac"] = round(kernel_gcups / measured, 4)
+    return out
 
 
 def bench_umi(n_umis=100_000, umi_len=10, n_clusters=20_000, threshold=2,

@@ -5,20 +5,40 @@ mode when the MSA frame carries qualities, basic mode otherwise; output is a
 quality-scaled batch whose Phred strings follow ``errorsToString``
 (create_consensus.cpp:18-32).
 
-Groups are bucketed by (members, width) into padded device batches so jit
-shapes stay bounded; padded member rows are all-gap and padded columns fail
-min-coverage, so neither contributes.
+Groups are bucketed by (members, width) into device batches so jit shapes
+stay bounded.  Two device layouts:
+
+* **flat** (single-device default): the ragged groups travel as one
+  concatenated uint8 stream + tiny descriptors and are re-padded by a
+  gather on device; Phred chars come back as uint8.  This cuts the
+  host<->device bytes ~5x vs the padded layout (the bench consensus stage
+  was transfer-bound through the ~25 MB/s tunnel — VERDICT r4 #3).  All
+  buckets are dispatched before any readback so device work overlaps the
+  tunnel round trips.
+* **padded** (mesh path): dense [B, G, W] batches whose leading axis shards
+  over the active mesh (the tally kernel is group-parallel) — the BPPARAM
+  analog (R/consensusReadSeq.R runs per group under the caller's worker
+  pool).  ``SARLACC_CONSENSUS_PADDED=1`` forces it single-device (parity /
+  ablation).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
 from ..core.encode import SeqBatch
 from ..core.frame import Frame
 from ..core.quality import errors_to_phred_string, get_encoding
-from ..ops.consensus import consensus_basic_dev, consensus_quality_dev
-from ..utils.profiling import profiled
+from ..ops.consensus import (
+    consensus_basic_dev,
+    consensus_basic_flat_dev,
+    consensus_quality_dev,
+    consensus_quality_flat_dev,
+    quality_lut,
+)
+from ..utils.profiling import profiled, profiler
 
 __all__ = ["consensus_read_seq"]
 
@@ -48,15 +68,17 @@ def _encode_msa(alignments: list[str], allow_unknown: bool):
     return codes
 
 
-def _expand_quals(codes: np.ndarray, quals: list[str], encoding) -> np.ndarray:
-    """Per-read de-gapped qualities -> per-gapped-column error probabilities.
+def _qual_chars(codes: np.ndarray, quals: list[str], encoding) -> np.ndarray:
+    """Per-read de-gapped quality chars -> per-gapped-column uint8 plane.
 
     Reproduces the walk of create_consensus.cpp:191-238: every non-gap column
     consumes one quality char (N included); length mismatches raise the
-    reference's errors.
+    reference's errors, as does a char below the encoding offset
+    (quality_encoding.cpp:38-41).  Gap cells take the 255 sentinel (-> error
+    probability 0.5, matching the padded path's fill).
     """
     g, w = codes.shape
-    eps = np.full((g, w), 0.5, dtype=np.float64)
+    out = np.full((g, w), 255, dtype=np.uint8)
     nongap = codes != 5
     counts = nongap.sum(axis=1)
     qlens = np.fromiter((len(q) for q in quals), np.int64, count=g)
@@ -73,11 +95,17 @@ def _expand_quals(codes: np.ndarray, quals: list[str], encoding) -> np.ndarray:
         qmat = np.full((g, max(int(qlens.max()), 1)), encoding.offset, np.uint8)
         for i, q in enumerate(quals):
             qmat[i, : qlens[i]] = np.frombuffer(q.encode(), dtype=np.uint8)
-        errs = encoding.to_error(qmat)
+        if int(qmat.min()) < encoding.offset:
+            raise ValueError("quality cannot be lower than smallest encoded value")
         qidx = np.cumsum(nongap, axis=1) - 1
         rows = np.broadcast_to(np.arange(g)[:, None], (g, w))
-        eps[nongap] = errs[rows[nongap], qidx[nongap]]
-    return eps
+        out[nongap] = qmat[rows[nongap], qidx[nongap]]
+    return out
+
+
+def _expand_quals(codes: np.ndarray, qch: np.ndarray, lut: np.ndarray):
+    """Quality-char plane -> f64 error plane (padded/mesh path)."""
+    return lut[qch.astype(np.int32)]
 
 
 def _bucket_up(x: int) -> int:
@@ -96,12 +124,7 @@ def consensus_read_seq(
     qualities: list[list[str]] | None = None,
     mesh=None,
 ) -> SeqBatch:
-    """Consensus per group; returns a quality-scaled SeqBatch (Phred+33).
-
-    ``mesh`` shards each bucketed group batch over devices (the tally kernel
-    is group-parallel) — the BPPARAM analog (R/consensusReadSeq.R runs per
-    group under the caller's worker pool).
-    """
+    """Consensus per group; returns a quality-scaled SeqBatch (Phred+33)."""
     if isinstance(alignments, Frame):
         groups = list(alignments["alignments"])
         quals = list(alignments["qualities"]) if "qualities" in alignments else None
@@ -112,14 +135,16 @@ def consensus_read_seq(
         names = None
     has_quals = quals is not None
     encoding = get_encoding(qual_type)
+    lut = quality_lut(encoding)
 
     ngroups = len(groups)
-    enc = [_encode_msa(g, allow_unknown=has_quals) for g in groups]
-    eps = (
-        [_expand_quals(c, q, encoding) for c, q in zip(enc, quals)]
-        if has_quals
-        else [None] * ngroups
-    )
+    with profiler("consensus.encode"):
+        enc = [_encode_msa(g, allow_unknown=has_quals) for g in groups]
+        qch = (
+            [_qual_chars(c, q, encoding) for c, q in zip(enc, quals)]
+            if has_quals
+            else [None] * ngroups
+        )
 
     # Bucket by padded shape.
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -127,39 +152,112 @@ def consensus_read_seq(
         key = (_bucket_up(c.shape[0]), _bucket_up(max(c.shape[1], 1)))
         buckets.setdefault(key, []).append(i)
 
-    from ..parallel.context import pad_to_mesh, use_mesh, shard_batch
-
     seqs: list[str] = [""] * ngroups
     phreds: list[str] = [""] * ngroups
-    #: Byte budget for one launch's eps plane (f64, the largest operand).
-    #: Unchunked buckets built a single [47.5k, 16, 1024] f64 batch at the
-    #: vignette-scale bench — a 6.2 GB host array whose one-shot compile
-    #: crashed the remote compile helper.  Chunks are pow2-padded so the
-    #: compile count stays bounded.
+    #: Byte budget for one launch's device planes (the [B, G, W] codes/eps
+    #: intermediates).  Unchunked buckets built a single [47.5k, 16, 1024]
+    #: batch at the vignette-scale bench whose one-shot compile crashed the
+    #: remote compile helper.  Chunks are pow2-padded so the compile count
+    #: stays bounded.
     CHUNK_BYTES = 256 << 20
+    use_flat = mesh is None and not os.environ.get("SARLACC_CONSENSUS_PADDED")
+    inflight: list = []
     for (gpad, wpad), all_idxs in buckets.items():
-        cb = max(16, CHUNK_BYTES // (gpad * wpad * 8))
+        cb = max(16, CHUNK_BYTES // (gpad * wpad * (8 if mesh else 4)))
         p2 = 16
         while p2 * 2 <= cb:
             p2 *= 2
-        chunks = [
-            all_idxs[c0 : c0 + p2] for c0 in range(0, len(all_idxs), p2)
-        ]
-        for idxs in chunks:
-            _consensus_chunk(
-                idxs, gpad, wpad, min(p2, _bucket_up(len(idxs))), enc, eps,
-                has_quals, mesh, min_coverage, pseudo_count, seqs, phreds,
-            )
+        for c0 in range(0, len(all_idxs), p2):
+            idxs = all_idxs[c0 : c0 + p2]
+            bcap = min(p2, _bucket_up(len(idxs)))
+            if use_flat:
+                inflight.append(
+                    _dispatch_flat_chunk(
+                        idxs, gpad, wpad, bcap, enc, qch, has_quals, lut,
+                        min_coverage, pseudo_count,
+                    )
+                )
+            else:
+                _consensus_chunk(
+                    idxs, gpad, wpad, bcap, enc, qch, has_quals, lut, mesh,
+                    min_coverage, pseudo_count, seqs, phreds,
+                )
+    # Flat path: every chunk is queued on device; pay the tunnel round
+    # trips only now, overlapped with the later chunks' device work.
+    for item in inflight:
+        _collect_flat_chunk(item, enc, seqs, phreds)
 
     out = SeqBatch.from_strings(seqs, phreds, names)
     return out
 
 
+def _dispatch_flat_chunk(
+    idxs, gpad, wpad, bcap, enc, qch, has_quals, lut, min_coverage,
+    pseudo_count,
+):
+    """Queue one flat-layout consensus launch (async); returns the handles."""
+    import jax.numpy as jnp
+
+    with profiler("consensus.pack"):
+        b = bcap
+        gstart = np.zeros(b, np.int32)
+        widths = np.zeros(b, np.int32)
+        naligns = np.zeros(b, np.int32)
+        at = 0
+        parts_c = []
+        parts_q = []
+        for k, i in enumerate(idxs):
+            g, w = enc[i].shape
+            gstart[k] = at
+            widths[k] = w
+            naligns[k] = g
+            parts_c.append(enc[i].reshape(-1))
+            if has_quals:
+                parts_q.append(qch[i].reshape(-1))
+            at += g * w
+        F = _bucket_up(max(at, 1))
+        flat_c = np.full(F, 5, np.int8)
+        if parts_c:
+            flat_c[:at] = np.concatenate(parts_c)
+        if has_quals:
+            flat_q = np.full(F, 255, np.uint8)
+            if parts_q:
+                flat_q[:at] = np.concatenate(parts_q)
+    with profiler("consensus.dispatch"):
+        if has_quals:
+            keep, best, qc = consensus_quality_flat_dev(
+                jnp.asarray(flat_c), jnp.asarray(flat_q), jnp.asarray(lut),
+                jnp.asarray(gstart), jnp.asarray(widths), jnp.asarray(naligns),
+                float(min_coverage), G=gpad, W=wpad,
+            )
+        else:
+            keep, best, qc = consensus_basic_flat_dev(
+                jnp.asarray(flat_c), jnp.asarray(gstart), jnp.asarray(widths),
+                jnp.asarray(naligns), float(min_coverage),
+                float(pseudo_count), G=gpad, W=wpad,
+            )
+    return idxs, keep, best, qc
+
+
+def _collect_flat_chunk(item, enc, seqs, phreds):
+    idxs, keep_dev, best_dev, qc_dev = item
+    with profiler("consensus.readback"):
+        keep = np.asarray(keep_dev)
+        best = np.asarray(best_dev)
+        qc = np.asarray(qc_dev)
+    with profiler("consensus.assemble"):
+        for k, i in enumerate(idxs):
+            w = enc[i].shape[1]
+            cols = np.flatnonzero(keep[k, :w])
+            seqs[i] = _BASES[best[k, cols]].tobytes().decode()
+            phreds[i] = qc[k, cols].tobytes().decode()
+
+
 def _consensus_chunk(
-    idxs, gpad, wpad, bcap, enc, eps, has_quals, mesh, min_coverage,
+    idxs, gpad, wpad, bcap, enc, qch, has_quals, lut, mesh, min_coverage,
     pseudo_count, seqs, phreds,
 ):
-    """One bounded consensus launch; writes results into seqs/phreds."""
+    """One bounded padded-layout launch (mesh path); writes into seqs/phreds."""
     from ..parallel.context import pad_to_mesh, use_mesh, shard_batch
 
     # Padded groups are all-gap with naligns=0; their outputs are never
@@ -173,7 +271,7 @@ def _consensus_chunk(
         codes[k, :g, :w] = enc[i]
         naligns[k] = g
         if has_quals:
-            epsb[k, :g, :w] = eps[i]
+            epsb[k, :g, :w] = _expand_quals(enc[i], qch[i], lut)
     with use_mesh(mesh):
         if has_quals:
             codes, epsb, naligns = shard_batch(codes, epsb, naligns)

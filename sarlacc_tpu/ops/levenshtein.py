@@ -385,7 +385,7 @@ def _unique_rows(codes: np.ndarray):
     are 0..5 incl. pad), preserving np.unique's row-lexicographic order, so
     the sort runs on scalars instead of void views."""
     n, W = codes.shape
-    if W > 24 or (W and (codes.min() < 0 or codes.max() > 5)):
+    if n == 0 or W > 24 or (W and (codes.min() < 0 or codes.max() > 5)):
         return np.unique(
             codes, axis=0, return_index=True, return_inverse=True,
             return_counts=True,

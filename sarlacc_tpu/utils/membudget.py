@@ -20,6 +20,13 @@ _FREE_BYTES: int | None = None
 _PROBED = False
 _GIVEN: dict[str, int] = {}
 
+#: Fixed HBM reserve subtracted from the chip's capacity: headroom for XLA
+#: scratch, the runtime's own buffers, and fragmentation.  A constant (not
+#: instantaneous ``bytes_in_use``) keeps every budget a pure function of the
+#: chip, so launch shapes / compile-cache keys don't depend on which pipeline
+#: stage probes first (ADVICE r4).
+_RESERVE_BYTES = 2 << 30
+
 
 def _probe() -> int | None:
     global _FREE_BYTES, _PROBED
@@ -33,7 +40,7 @@ def _probe() -> int | None:
         stats = dev.memory_stats() or {}
         limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
         if limit:
-            _FREE_BYTES = max(int(limit) - int(stats.get("bytes_in_use", 0)), 0)
+            _FREE_BYTES = max(int(limit) - _RESERVE_BYTES, 0)
     except Exception:
         _FREE_BYTES = None
     return _FREE_BYTES

@@ -74,6 +74,66 @@ def test_hand_derived_msa_goldens():
             ["ACGTAGCT", "ACGTGCT", "CGTAGCT"],
             ["ACGTAGCT", "ACGT-GCT", "-CGTAGCT"],
         ),
+        # 6. Two-base internal deletion: "AT" removed between G and C.  The
+        #    only length-2 window of ACGATCGT whose removal yields ACGCGT is
+        #    positions 4-5 (the subsequence embedding A1 C2 G3 C6 G7 T8 is
+        #    unique), and an adjacent gap run (5+1) beats two split gaps
+        #    (5+5), so the gap run's position is forced.
+        (
+            ["ACGATCGT", "ACGCGT", "ACGATCGT"],
+            ["ACGATCGT", "ACG--CGT", "ACGATCGT"],
+        ),
+        # 7. INSERTION in one read of four: read 3 carries an extra A
+        #    between T and G; every other read takes a gap column there.
+        #    Unique: the only single-char removal of ACGTAGCAT that yields
+        #    ACGTGCAT is position 5 (prefix ACGT matches greedily and G has
+        #    no earlier candidate).
+        (
+            ["ACGTGCAT", "ACGTGCAT", "ACGTAGCAT", "ACGTGCAT"],
+            ["ACGT-GCAT", "ACGT-GCAT", "ACGTAGCAT", "ACGT-GCAT"],
+        ),
+        # 8. Five reads, two DIFFERENT single deletions in different reads
+        #    (read 2 misses the col-5 A, read 4 misses the col-7 C), each
+        #    uniquely placed against the three full-length reads.  The
+        #    read2~read4 pairwise optimum is gapless (2 mismatches = -2
+        #    beats two gaps), i.e. inconsistent with the true homology —
+        #    the three 100-weight full-read libraries must outvote it.
+        (
+            ["ACGTAGCTA", "ACGTGCTA", "ACGTAGCTA", "ACGTAGTA", "ACGTAGCTA"],
+            ["ACGTAGCTA", "ACGT-GCTA", "ACGTAGCTA", "ACGTAG-TA", "ACGTAGCTA"],
+        ),
+        # 9. Six reads: one deletion (read 2) + one substitution (read 4)
+        #    at the same column.  The del~sub pairwise gap is still unique
+        #    (ACGTGCAT embeds in ACGTCGCAT only by skipping the C at 5), so
+        #    every pairwise optimum is consistent with the hand answer.
+        (
+            [
+                "ACGTAGCAT", "ACGTGCAT", "ACGTAGCAT",
+                "ACGTCGCAT", "ACGTAGCAT", "ACGTAGCAT",
+            ],
+            [
+                "ACGTAGCAT", "ACGT-GCAT", "ACGTAGCAT",
+                "ACGTCGCAT", "ACGTAGCAT", "ACGTAGCAT",
+            ],
+        ),
+        # 10. Forced guide-tree merge order: two identical-pair clusters
+        #     (within-cluster identity 1.0, cross 7/8), so NJ must merge
+        #     each cherry first and the final PROFILE-profile merge has to
+        #     open the shared gap column from the four cross-pair library
+        #     entries alone (the within-B pairwise alignment is gapless and
+        #     says nothing about column 5).
+        (
+            ["ACGTAGCAT", "ACGTAGCAT", "TCGTGCAT", "TCGTGCAT"],
+            ["ACGTAGCAT", "ACGTAGCAT", "TCGT-GCAT", "TCGT-GCAT"],
+        ),
+        # 11. Leading and trailing truncations in one group: terminal gap
+        #     runs at both edges.  The trunc~trunc pairwise optimum is the
+        #     7-mismatch gapless alignment (identity 0 -> library weight 0),
+        #     so only the full-length reads place the truncated ones.
+        (
+            ["ACGTAGCAT", "GTAGCAT", "ACGTAGCAT", "ACGTAGC"],
+            ["ACGTAGCAT", "--GTAGCAT", "ACGTAGCAT", "ACGTAGC--"],
+        ),
     ]
     for seqs, want in cases:
         out = multi_read_align(SeqBatch.from_strings(seqs))
@@ -318,6 +378,37 @@ def test_pack_jmat_kernel(rng):
         np.testing.assert_array_equal(
             flat[starts[m] : starts[m] + las[m]], jmat[: las[m], m], err_msg=str(m)
         )
+
+
+def test_merge_walk_emits_nothing_past_la(rng):
+    """The packed merge readback (_run_merge_wave) keeps only the first
+    ``la`` jmat rows per merge — sound only while the walk kernel never
+    emits a match at a DP row beyond lens_a.  Pin that invariant on
+    adversarial inputs (random direction planes, lens_a well below the row
+    bucket) so a future walk change that breaks it fails loudly instead of
+    silently truncating paths (ADVICE r4)."""
+    import jax.numpy as jnp
+
+    from sarlacc_tpu.ops.msa import _merge_walk_kernel, _pair_walk_kernel
+
+    rows, P, W = 64, 16, 32
+    dirs = rng.integers(0, 3, (rows, P, W)).astype(np.int8)
+    lens_a = rng.integers(1, rows // 2, P).astype(np.int32)
+    lens_b = rng.integers(1, rows // 2, P).astype(np.int32)
+    lo = (np.minimum(0, lens_b - lens_a) - 8).astype(np.int32)
+
+    jmat = np.asarray(_merge_walk_kernel(jnp.asarray(dirs), lens_a, lens_b, lo))
+    for p in range(P):
+        assert not jmat[lens_a[p]:, p].any(), p
+
+    # Same invariant for the Gotoh pair walk (its jmat is compacted from
+    # the full rows today, but the guarantee is the same).
+    dirs_g = rng.integers(0, 16, (rows, P, W)).astype(np.int8)
+    jmat_g = np.asarray(
+        _pair_walk_kernel(jnp.asarray(dirs_g), lens_a, lens_b, lo)
+    )
+    for p in range(P):
+        assert not jmat_g[lens_a[p]:, p].any(), p
 
 
 def test_pair_bucket_tab_matches_host_gather(rng):
