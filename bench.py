@@ -219,7 +219,9 @@ def bench_demux(n_reads=100_000, tolerance=250, n_barcodes=12, bc_len=12, seed=3
         align_scores_only, prepare_adaptor, prepare_scores_input,
         resolve_strand,
     )
-    from sarlacc_tpu.ops.pallas_align import fit_scores_from_planes
+    from sarlacc_tpu.ops.pallas_align import (
+        fit_scores_from_planes, fit_scores_segments,
+    )
 
     a1 = prepare_adaptor("ACGCTAGCATCAGTCNNNNCACAGCTACGA" + "N" * 12 + "CGTACGCAT")
     a2 = prepare_adaptor("TGCATCGATCGCAT")
@@ -235,16 +237,23 @@ def bench_demux(n_reads=100_000, tolerance=250, n_barcodes=12, bc_len=12, seed=3
     # and every tuning/threshold launch (the production pattern).
     pfront = prepare_scores_input(a1, front)
     pback = prepare_scores_input(a1, back)
+    l1, n_pad = pfront.plane_geometry()
+    segs = [
+        (a1.modes, a1.matched, 5.0, 1.0, True),
+        (a2.modes, a2.matched, 5.0, 1.0, True),
+    ]
 
     def one_pass():
-        dev = [
-            align_scores_only(a1, None, 5.0, 1.0, prepared=pfront, as_device=True),
-            align_scores_only(a2, None, 5.0, 1.0, prepared=pback, as_device=True),
-            align_scores_only(a1, None, 5.0, 1.0, prepared=pback, as_device=True),
-            align_scores_only(a2, None, 5.0, 1.0, prepared=pfront, as_device=True),
-        ]
-        s = np.asarray(jnp.stack(dev), dtype=np.float64)  # ONE readback
-        resolve_strand(s[0], s[1], s[2], s[3])
+        # Both adaptors per batch ride ONE multi-segment launch; the two
+        # launches' [2, n] outputs stack into ONE readback.
+        sf = fit_scores_segments(pfront.planes(), pfront.lengths, segs,
+                                 l1=l1, n_pad=n_pad)
+        sb = fit_scores_segments(pback.planes(), pback.lengths, segs,
+                                 l1=l1, n_pad=n_pad)
+        s = np.asarray(
+            jnp.concatenate([sf, sb])[:, :n_reads], dtype=np.float64
+        )  # ONE readback: rows = a1@front, a2@front, a1@back, a2@back
+        resolve_strand(s[0], s[3], s[2], s[1])
         st.barcode_align(observed, barcodes)
 
     one_pass()  # warmup/compile

@@ -49,16 +49,36 @@ def barcode_align(
         from .align_internal import align_scores_only, prepare_scores_input
 
         prepared = prepare_scores_input(preps[0], sequences, mesh=mesh)
-        per_bc = [
-            align_scores_only(
-                prep, None, gap_opening, gap_extension,
-                prepared=prepared, local=False, as_device=True,
-            )
-            for prep in preps
-        ]
         import jax.numpy as jnp
 
-        stack = jnp.stack(per_bc).astype(jnp.float64)  # [B, n]
+        from ..ops.pallas_align import pallas_available
+
+        if pallas_available() and mesh is None:
+            # ONE multi-segment launch for all barcodes: per-launch dispatch
+            # (~1-7 ms through the remote tunnel) dominated the pass at 64x
+            # the kernel time (VERDICT r4 #6).
+            from ..ops.pallas_align import fit_scores_segments
+
+            l1, n_pad = prepared.plane_geometry()
+            stack = fit_scores_segments(
+                prepared.planes(),
+                prepared.lengths,
+                [
+                    (p.modes, p.matched, gap_opening, gap_extension, False)
+                    for p in preps
+                ],
+                l1=l1,
+                n_pad=n_pad,
+            )[:, : prepared.n].astype(jnp.float64)  # [B, n]
+        else:
+            per_bc = [
+                align_scores_only(
+                    prep, None, gap_opening, gap_extension,
+                    prepared=prepared, local=False, as_device=True,
+                )
+                for prep in preps
+            ]
+            stack = jnp.stack(per_bc).astype(jnp.float64)  # [B, n]
         best_id = jnp.argmax(stack, axis=0)  # first max wins ties, as the
         # sequential `scores > current_score` walk did (R/barcodeAlign.R:27-38)
         best = jnp.take_along_axis(stack, best_id[None, :], axis=0)[0]

@@ -81,6 +81,39 @@ def _four_scores(a1, a2, front, back, go, ge, pad_n=None, mesh=None, prep=None):
     return s1[:n], s2[:n], s1[n:], s2[n:]
 
 
+def _grid_four_scores(a1, a2, combos, prep):
+    """All grid points' START/END/RSTART/REND vectors in TWO launches.
+
+    The per-(go, ge) loop issued one launch + one readback per grid point
+    per stacked batch (70 tunnel round trips for the 35-point default grid);
+    the multi-segment kernel scores every penalty pair in one launch per
+    prepared batch and one readback carries the whole [C, n] matrix
+    (R/tuneAlignment.R:54-72 runs the same grid through one worker pool).
+    """
+    from ..ops.pallas_align import fit_scores_segments
+
+    pfb, pbf, n = prep
+    l1, n_pad = pfb.plane_geometry()
+    s1 = np.asarray(
+        fit_scores_segments(
+            pfb.planes(), pfb.lengths,
+            [(a1.modes, a1.matched, go, ge, True) for go, ge in combos],
+            l1=l1, n_pad=n_pad,
+        )
+    ).astype(np.float64)[:, : pfb.n]
+    s2 = np.asarray(
+        fit_scores_segments(
+            pbf.planes(), pbf.lengths,
+            [(a2.modes, a2.matched, go, ge, True) for go, ge in combos],
+            l1=l1, n_pad=n_pad,
+        )
+    ).astype(np.float64)[:, : pbf.n]
+    return [
+        (s1[i, :n], s2[i, :n], s1[i, n:], s2[i, n:])
+        for i in range(len(combos))
+    ]
+
+
 def tied_overlap(real: np.ndarray, fake: np.ndarray) -> float:
     """Tie-averaged rank overlap (R/tuneAlignment.R:78-85)."""
     fake = np.sort(fake)
@@ -135,17 +168,30 @@ def tune_alignment(
     best_scores = {"reads": None, "scrambled": None}
     prep_r = _prep_four(a1, front, back, mesh=mesh)
     prep_s = _prep_four(a1, sfront, sback, mesh=mesh)
-    for go in range(int(lo_op), int(hi_op) + 1):
-        for ge in range(int(lo_ext), int(hi_ext) + 1):
+    combos = [
+        (go, ge)
+        for go in range(int(lo_op), int(hi_op) + 1)
+        for ge in range(int(lo_ext), int(hi_ext) + 1)
+    ]
+    from ..ops.pallas_align import pallas_available
+
+    use_segments = pallas_available() and mesh is None
+    if use_segments:
+        rs_all = _grid_four_scores(a1, a2, combos, prep_r)
+        ss_all = _grid_four_scores(a1, a2, combos, prep_s)
+    for ci, (go, ge) in enumerate(combos):
+        if use_segments:
+            rs, ss = rs_all[ci], ss_all[ci]
+        else:
             rs = _four_scores(a1, a2, front, back, go, ge, mesh=mesh, prep=prep_r)
             ss = _four_scores(a1, a2, sfront, sback, go, ge, mesh=mesh, prep=prep_s)
-            _, read_scores = resolve_strand(*rs)
-            _, scram_scores = resolve_strand(*ss)
-            cur = tied_overlap(read_scores, scram_scores)
-            if max_score < cur:
-                max_score = cur
-                best = {"gapOpening": go, "gapExtension": ge}
-                best_scores = {"reads": read_scores, "scrambled": scram_scores}
+        _, read_scores = resolve_strand(*rs)
+        _, scram_scores = resolve_strand(*ss)
+        cur = tied_overlap(read_scores, scram_scores)
+        if max_score < cur:
+            max_score = cur
+            best = {"gapOpening": go, "gapExtension": ge}
+            best_scores = {"reads": read_scores, "scrambled": scram_scores}
     return {"parameters": best, "scores": best_scores}
 
 

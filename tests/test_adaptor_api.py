@@ -229,3 +229,36 @@ def test_dual_umi_end_to_end(mock_fastq):
     groups = st.umi_group(umi, 3, bc, 2)
     flat = sorted(int(i) for g in groups for i in g)
     assert flat == list(range(len(aligned)))
+
+def test_segment_path_matches_loop_path(aligned, mock_fastq, monkeypatch):
+    """barcode_align / tune_alignment take a one-launch multi-segment kernel
+    on TPU (VERDICT r4 #6); force that path (interpret mode) on CPU and pin
+    it to the per-launch path's output."""
+    barcodes = ["AAAA", "CCCC", "GGGG", "TTTT"]
+    bc = aligned["adaptor1"]["subseq"]["Sub1"]
+    fp, _ = mock_fastq
+    kw = dict(
+        filepath=fp, tolerance=60, number=20,
+        gap_op_range=(4, 5), gap_ext_range=(1, 2),
+    )
+    loop_bc = st.barcode_align(bc, barcodes)
+    loop_tune = st.tune_alignment(ADAPTOR1, ADAPTOR2, **kw)
+
+    import sarlacc_tpu.ops.pallas_align as pa
+
+    monkeypatch.setattr(pa, "pallas_available", lambda: True)
+    orig_launch = pa._launch_segments
+    monkeypatch.setattr(
+        pa, "_launch_segments",
+        lambda *a, **k: orig_launch(*a, **{**k, "interpret": True}),
+    )
+    seg_bc = st.barcode_align(bc, barcodes)
+    seg_tune = st.tune_alignment(ADAPTOR1, ADAPTOR2, **kw)
+
+    np.testing.assert_array_equal(seg_bc["barcode"], loop_bc["barcode"])
+    np.testing.assert_allclose(seg_bc["score"], loop_bc["score"], atol=2e-4)
+    np.testing.assert_allclose(seg_bc["gap"], loop_bc["gap"], atol=4e-4)
+    assert seg_tune["parameters"] == loop_tune["parameters"]
+    np.testing.assert_allclose(
+        seg_tune["scores"]["reads"], loop_tune["scores"]["reads"], atol=2e-4
+    )
