@@ -357,10 +357,31 @@ def _run_merge_wave(lib_dev, wave, descs):
     # latency), while width only pads the per-step vector work, which is
     # latency-dominated anyway — so merges of different widths share a
     # launch at the widest bucket.
+    def _bkt2(x, base):
+        """Coarse bucket with TWO sizes per octave (pow2 and 1.5*pow2).
+
+        The pack kernel's T is a static jit arg; bucketing it at 64K
+        granularity minted a NEW executable almost every wave (the row sum
+        varies continuously), and those per-wave remote compiles — ~0.7 s
+        each, hundreds per large run — were 60-80% of the warm merge stage
+        and a host-RSS leak (every executable is retained).  Two sizes per
+        octave caps padding at 33% while keeping the executable count
+        logarithmic.
+        """
+        b = base
+        while True:
+            if x <= b:
+                return b
+            if x <= b + b // 2:
+                return b + b // 2
+            b *= 2
+
     classes: dict = {}
     for i, d in enumerate(descs):
         classes.setdefault(_bkt(max(d["la"], 1), 64), []).append(i)
     inflight = []
+    from ..utils.profiling import profiler
+
     for rb, idxs in classes.items():
         wb = _bkt(max(descs[i]["kmax"] + 1 for i in idxs), 64)
         jmat_dev = merge_wave_from_library(lib_dev, [descs[i] for i in idxs], rb, wb)
@@ -369,14 +390,21 @@ def _run_merge_wave(lib_dev, wave, descs):
         las = np.asarray([descs[i]["la"] for i in idxs], np.int64)
         starts = np.zeros(las.size + 1, np.int32)
         np.cumsum(las, out=starts[1:])
-        T = int(starts[-1])
-        Tb = max(((T + (1 << 16) - 1) >> 16) << 16, 1 << 16)
-        flat_dev = _pack_jmat_kernel(
-            jmat_dev,
-            jnp.asarray(starts),
-            jnp.asarray(np.arange(las.size, dtype=np.int32)),
-            T=Tb,
-        )
+        total = int(starts[-1])
+        Tb = _bkt2(max(total, 1), 1 << 16)
+        # starts/cols SHAPES are jit avals too: pad to a pow2 merge count
+        # (padded segments start at `total` and map to column 0; the caller
+        # never reads flat rows >= total) so the executable count stays
+        # logarithmic instead of one per wave.
+        Sb = _bkt(max(las.size, 1), 64)
+        starts_p = np.full(Sb + 1, total, np.int32)
+        starts_p[: las.size + 1] = starts
+        cols_p = np.zeros(Sb, np.int32)
+        cols_p[: las.size] = np.arange(las.size, dtype=np.int32)
+        with profiler("msa.merge_pack"):
+            flat_dev = _pack_jmat_kernel(
+                jmat_dev, jnp.asarray(starts_p), jnp.asarray(cols_p), T=Tb,
+            )
         inflight.append((idxs, las, starts, flat_dev))
     from ..utils.profiling import profiler
 
@@ -532,7 +560,11 @@ def _build_library_device(
             )
             classes.setdefault((sl, strc), []).append((gi, int(x), int(y)))
 
-    CP = 256  # pairs per launch: bounds the [CP, STRC, SL] intermediates
+    # Pairs per launch: bounds the [CP, STRC, SL] intermediates (~50 MB at
+    # CP=1024, SL=12, STRC=1024 — comfortable on a 16 GB chip).  CP=256 made
+    # the stage dispatch-bound: ~350 launches per 2000-group slice at
+    # ~50 ms of remote dispatch each (r5 probe).
+    CP = 1024
     t_cap = sum(
         ((len(prs) + CP - 1) // CP) * CP * sl * strc
         for (sl, strc), prs in classes.items()
@@ -577,10 +609,11 @@ def _build_library_device(
                         zy[r, s] = dir_row(gi, z, y)
                         ws[r, s] = min(idents[pos][x, z], idents[pos][z, y]) * 100.0
                         s += 1
+                # numpy args go straight into the jitted call: each eager
+                # jnp.asarray is its own ~20-30 ms remote dispatch.
                 table, counts, out_base = _extend_chunk_kernel(
-                    arena, arena_c[strc],
-                    jnp.asarray(xz), jnp.asarray(zy), jnp.asarray(ws),
-                    table, counts, jnp.asarray(pid), out_base,
+                    arena, arena_c[strc], xz, zy, ws,
+                    table, counts, pid, out_base,
                     np.float32(w_scale), SL=sl, STR=stride, STRC=strc,
                     TCAP=t_cap,
                 )

@@ -461,6 +461,35 @@ def _run_pair_bucket(
     return scores, jmat, ident
 
 
+@functools.partial(
+    jax.jit, static_argnames=("rows", "width", "interpret")
+)
+def _pair_bucket_tab_fused(
+    codes_tab, ia, ib, lens_a, lens_b, lo, kmax, scal,
+    rows: int, width: int, interpret: bool,
+):
+    """Whole pair-bucket chain (gather -> banded DP -> walk -> ident) as ONE
+    jitted dispatch.
+
+    The unfused chain issued ~15 eager/jit calls per bucket; each call
+    through the remote-TPU tunnel costs ~20-30 ms of dispatch, which made
+    the pair stage dispatch-bound (~0.33 s/bucket measured, r5 probe) while
+    the device work itself is asynchronous.  Tracing the jitted sub-kernels
+    inlines them, so the host pays one dispatch per bucket.
+    """
+    from .pallas_msa import _launch
+
+    ca = jnp.take(codes_tab, ia, axis=0)  # [Pq, L] int8
+    cb = jnp.take(codes_tab, ib, axis=0)
+    dirs, scores = _launch(
+        scal, lens_a[None, :], lens_b[None, :], lo[None, :], kmax[None, :],
+        ca, cb, rows=rows, width=width, interpret=interpret,
+    )
+    jmat = _pair_walk_kernel(dirs, lens_a, lens_b, lo, wp_layout=True)
+    ident = _pair_ident_kernel(jmat, ca.astype(jnp.int32), cb.astype(jnp.int32))
+    return scores, jmat, ident
+
+
 def _run_pair_bucket_tab(
     codes_tab, ia, ib, lens_a, lens_b, lo, hi,
     match, mismatch, gap_open, gap_ext, bandwidth, rows_b, W_b,
@@ -469,11 +498,13 @@ def _run_pair_bucket_tab(
 
     ``codes_tab`` [n, L] int8 device; ``ia``/``ib`` index the bucket's
     pairs into it.  Per-bucket H2D is just the padded index vectors — the
-    code rows gather on device (one ``jnp.take`` each), so the table
-    crosses the ~25 MB/s tunnel once per ``pair_maps_device`` call instead
-    of once per bucket.  Same outputs as :func:`_run_pair_bucket` on the
-    Pallas path (scores, jmat in walk layout, ident).
+    code rows gather on device, so the table crosses the ~25 MB/s tunnel
+    once per segment instead of once per bucket.  Same outputs as
+    :func:`_run_pair_bucket` on the Pallas path (scores, jmat in walk
+    layout, ident), via the single-dispatch fused chain.
     """
+    from .pallas_msa import msa_pallas_available
+
     P = ia.size
     PL = 128
     Pq = max(_bkt_pow2(max(P, 1), 8), PL)
@@ -490,22 +521,14 @@ def _run_pair_bucket_tab(
     hi_p = np.full(Pq, bandwidth, np.int32)
     hi_p[:P] = hi
 
-    from .pallas_msa import banded_pair_pallas
-
-    ca = jnp.take(codes_tab, jnp.asarray(ia_p), axis=0)  # [Pq, L] int8
-    cb = jnp.take(codes_tab, jnp.asarray(ib_p), axis=0)
-    scores, dirs = banded_pair_pallas(
-        ca, cb, lens_a_p, lens_b_p, lo_p, hi_p - lo_p,
-        match, mismatch, gap_open, gap_ext, rows=rows_b, width=W_b,
+    scal = np.asarray(
+        [float(match), float(mismatch), float(gap_open), float(gap_ext)],
+        np.float32,
     )
-    jmat = _pair_walk_kernel(
-        dirs, jnp.asarray(lens_a_p), jnp.asarray(lens_b_p),
-        jnp.asarray(lo_p), wp_layout=True,
+    return _pair_bucket_tab_fused(
+        codes_tab, ia_p, ib_p, lens_a_p, lens_b_p, lo_p, hi_p - lo_p, scal,
+        rows=rows_b, width=W_b, interpret=not msa_pallas_available(),
     )
-    ident = _pair_ident_kernel(
-        jmat, ca.astype(jnp.int32), cb.astype(jnp.int32)
-    )
-    return scores, jmat, ident
 
 
 @jax.jit
@@ -1045,7 +1068,7 @@ def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
         for c0 in range(0, max(total, 1), EC):
             cost = _merge_accum_kernel(
                 *lib_dev, cost, bound_dev, delta_dev, p2ca_dev, p2cb_dev,
-                total_dev, jnp.asarray(c0, jnp.int32), EC=EC,
+                total_dev, np.int32(c0), EC=EC,
             )
         return _merge_dp_walk(cost, la_d, lb_d, lo_d, km_d)
 
@@ -1130,7 +1153,7 @@ def pair_maps_device(
         nonlocal arena
         idx, rows_b, jmat_dev, ident_dev, _, slab = item
         arena = _arena_place_kernel(
-            arena, jmat_dev, jnp.int32(slab), rows=rows_b
+            arena, jmat_dev, np.int32(slab), rows=rows_b
         )
         fracs[idx] = np.asarray(ident_dev, np.float64)[: idx.size]
 
@@ -1145,7 +1168,34 @@ def pair_maps_device(
     codes = np.asarray(codes)
     mesh0 = active_mesh()
     use_tab = msa_pallas_available() and mesh0 is None
-    codes_tab = jnp.asarray(codes, jnp.int8) if use_tab else None
+    if use_tab:
+        # SEGMENT-LOCAL read table: this function runs once per MSA segment,
+        # and uploading the whole batch's [n, L] codes each time made the
+        # upload itself the scaling wall (500k reads x ~264 segments moved
+        # ~92 GB of identical bytes through the ~25 MB/s tunnel and pinned
+        # as much host staging — the r5 vignette-scale run died there).
+        # Only the segment's own reads cross the link; pair indices remap to
+        # the local table, and the width buckets to a coarse pow2 so the
+        # downstream launch shapes stay compile-bounded.
+        rows_used = np.unique(np.concatenate([ga, gb]))
+        remap = np.zeros(codes.shape[0], np.int32)
+        remap[rows_used] = np.arange(rows_used.size, dtype=np.int32)
+        l_loc = min(
+            _bkt_pow2(int(lengths[rows_used].max(initial=1)), 64),
+            codes.shape[1],
+        )
+        # BOTH table dims are avals of the fused bucket jit: pad the row
+        # count to a pow2 too, or every segment's distinct read count mints
+        # a fresh ~7 s remote compile for every bucket (r5 probe: 360 s of
+        # a 520 s warm slice).  Pad rows are all-pad code 5, never indexed.
+        n_loc = _bkt_pow2(rows_used.size, 256)
+        tab = np.full((n_loc, l_loc), 5, np.int8)
+        tab[: rows_used.size] = codes[rows_used][:, :l_loc]
+        codes_tab = jnp.asarray(tab)
+        ga_tab = remap[ga]
+        gb_tab = remap[gb]
+    else:
+        codes_tab = None
 
     # Pre-pass: assign every bucket chunk a CONTIGUOUS arena slab (rows
     # 0 = zero map, 1 = identity, then 2 rows per dispatched pair slot in
@@ -1176,7 +1226,8 @@ def pair_maps_device(
             with _prof("msa.pair_dispatch"):
                 if use_tab and pallas_pair_fits(int(key[0]), int(key[1])):
                     _, jmat_dev, ident_dev = _run_pair_bucket_tab(
-                        codes_tab, ga[sub], gb[sub], lens_a[sub], lens_b[sub],
+                        codes_tab, ga_tab[sub], gb_tab[sub],
+                        lens_a[sub], lens_b[sub],
                         lo[sub], hi[sub], match, mismatch, gap_open, gap_ext,
                         bandwidth, int(key[0]), int(key[1]),
                     )

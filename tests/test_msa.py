@@ -401,9 +401,17 @@ def test_merge_walk_emits_nothing_past_la(rng):
     for p in range(P):
         assert not jmat[lens_a[p]:, p].any(), p
 
-    # Same invariant for the Gotoh pair walk (its jmat is compacted from
-    # the full rows today, but the guarantee is the same).
-    dirs_g = rng.integers(0, 16, (rows, P, W)).astype(np.int8)
+    # Same invariant for the Gotoh pair walk.  Its choice field must stay in
+    # {0 diag, 1 horiz, 2 vert} — the DP kernel never emits 3, and the
+    # walk's H-run resolve loop relies on that (a 3 would neither exit nor
+    # move, spinning the while_loop forever), so the adversarial input here
+    # randomizes only the legal encodings.
+    choice = rng.integers(0, 3, (rows, P, W))
+    dirs_g = (
+        choice
+        + (rng.integers(0, 2, (rows, P, W)) << 2)
+        + (rng.integers(0, 2, (rows, P, W)) << 3)
+    ).astype(np.int8)
     jmat_g = np.asarray(
         _pair_walk_kernel(jnp.asarray(dirs_g), lens_a, lens_b, lo)
     )
