@@ -157,10 +157,13 @@ def consensus_read_seq(
     #: Byte budget for one launch's device planes (the [B, G, W] codes/eps
     #: intermediates).  Unchunked buckets built a single [47.5k, 16, 1024]
     #: batch at the vignette-scale bench whose one-shot compile crashed the
-    #: remote compile helper.  Chunks are pow2-padded so the compile count
-    #: stays bounded.
-    CHUNK_BYTES = 256 << 20
+    #: remote compile helper — and the flat path's [4096, 16, 1024] chunk
+    #: (F = 2^25 flat elements) crashed it the same way at r5's 500k run,
+    #: so the flat budget caps chunks at the [1024, 16, 1024] class that
+    #: compiles and runs clean.  Chunks are pow2-padded so the compile
+    #: count stays bounded.
     use_flat = mesh is None and not os.environ.get("SARLACC_CONSENSUS_PADDED")
+    CHUNK_BYTES = (64 << 20) if use_flat else (256 << 20)
     inflight: list = []
     for (gpad, wpad), all_idxs in buckets.items():
         cb = max(16, CHUNK_BYTES // (gpad * wpad * (8 if mesh else 4)))

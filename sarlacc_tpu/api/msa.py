@@ -708,7 +708,16 @@ def _build_library_host(
 def _segment_lib_budget() -> int:
     """Estimated-library byte budget per MSA segment: ~1/16 of free HBM
     (1 GiB on an idle 16 GB chip) keeps segments comfortably under the
-    device-path table guard and bounds peak HBM."""
+    device-path table guard and bounds peak HBM.
+
+    Segment count scales inversely with this budget, and every segment
+    pays fixed costs (library upload, extension chunk ladder, its own
+    merge waves) — r5 measured ~9-28 s/segment at the ~500k-read vignette
+    scale of which ~2 s is DP volume, so raising the budget (2 GiB fits:
+    packed table ~4 GB peak + arena + one wave's cost planes + pair
+    in-flight window < 14 GB usable) is the next MSA-scale lever.  Kept at
+    1 GiB for now: every shape class is hardware-validated and warm in the
+    persistent compile cache at this size."""
     from ..utils.membudget import device_memory_budget
 
     return device_memory_budget("lib_segment", 1 / 16, 1 << 30)
