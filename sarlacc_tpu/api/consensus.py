@@ -227,16 +227,18 @@ def _dispatch_flat_chunk(
             if parts_q:
                 flat_q[:at] = np.concatenate(parts_q)
     with profiler("consensus.dispatch"):
+        from ..utils.retry import retry_transient
+
         if has_quals:
-            keep, best, qc = consensus_quality_flat_dev(
-                jnp.asarray(flat_c), jnp.asarray(flat_q), jnp.asarray(lut),
-                jnp.asarray(gstart), jnp.asarray(widths), jnp.asarray(naligns),
+            keep, best, qc = retry_transient(
+                consensus_quality_flat_dev,
+                flat_c, flat_q, lut, gstart, widths, naligns,
                 float(min_coverage), G=gpad, W=wpad,
             )
         else:
-            keep, best, qc = consensus_basic_flat_dev(
-                jnp.asarray(flat_c), jnp.asarray(gstart), jnp.asarray(widths),
-                jnp.asarray(naligns), float(min_coverage),
+            keep, best, qc = retry_transient(
+                consensus_basic_flat_dev,
+                flat_c, gstart, widths, naligns, float(min_coverage),
                 float(pseudo_count), G=gpad, W=wpad,
             )
     return idxs, keep, best, qc

@@ -402,7 +402,10 @@ def _run_merge_wave(lib_dev, wave, descs):
         cols_p = np.zeros(Sb, np.int32)
         cols_p[: las.size] = np.arange(las.size, dtype=np.int32)
         with profiler("msa.merge_pack"):
-            flat_dev = _pack_jmat_kernel(
+            from ..utils.retry import retry_transient
+
+            flat_dev = retry_transient(
+                _pack_jmat_kernel,
                 jmat_dev, jnp.asarray(starts_p), jnp.asarray(cols_p), T=Tb,
             )
         inflight.append((idxs, las, starts, flat_dev))
@@ -611,7 +614,10 @@ def _build_library_device(
                         s += 1
                 # numpy args go straight into the jitted call: each eager
                 # jnp.asarray is its own ~20-30 ms remote dispatch.
-                table, counts, out_base = _extend_chunk_kernel(
+                from ..utils.retry import retry_transient
+
+                table, counts, out_base = retry_transient(
+                    _extend_chunk_kernel,
                     arena, arena_c[strc], xz, zy, ws,
                     table, counts, pid, out_base,
                     np.float32(w_scale), SL=sl, STR=stride, STRC=strc,

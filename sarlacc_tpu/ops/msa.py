@@ -525,7 +525,10 @@ def _run_pair_bucket_tab(
         [float(match), float(mismatch), float(gap_open), float(gap_ext)],
         np.float32,
     )
-    return _pair_bucket_tab_fused(
+    from ..utils.retry import retry_transient
+
+    return retry_transient(
+        _pair_bucket_tab_fused,
         codes_tab, ia_p, ib_p, lens_a_p, lens_b_p, lo_p, hi_p - lo_p, scal,
         rows=rows_b, width=W_b, interpret=not msa_pallas_available(),
     )
@@ -1060,17 +1063,22 @@ def merge_wave_from_library(lib_dev, merges_desc, rows_b, W_b):
     with _prof("msa.merge_dispatch"):
         la_d, lb_d = jnp.asarray(la), jnp.asarray(lb)
         lo_d, km_d = jnp.asarray(lo), jnp.asarray(kmax)
-        cost = _merge_cost_init(la_d, km_d, P=Pp, rows=rows_b, width=W_b)
+        from ..utils.retry import retry_transient
+
+        cost = retry_transient(
+            _merge_cost_init, la_d, km_d, P=Pp, rows=rows_b, width=W_b
+        )
         # Two chunk classes only (compile count): small waves take one 64k
         # launch, big waves stream 2M chunks (a partial tail chunk wastes
         # at most ~0.2 s of masked scatter work).
         EC = (1 << 16) if total <= (1 << 16) else MERGE_ENTRY_CHUNK
         for c0 in range(0, max(total, 1), EC):
-            cost = _merge_accum_kernel(
+            cost = retry_transient(
+                _merge_accum_kernel,
                 *lib_dev, cost, bound_dev, delta_dev, p2ca_dev, p2cb_dev,
                 total_dev, np.int32(c0), EC=EC,
             )
-        return _merge_dp_walk(cost, la_d, lb_d, lo_d, km_d)
+        return retry_transient(_merge_dp_walk, cost, la_d, lb_d, lo_d, km_d)
 
 
 # ---------------------------------------------------------------------------
@@ -1152,8 +1160,10 @@ def pair_maps_device(
     def _place(item):
         nonlocal arena
         idx, rows_b, jmat_dev, ident_dev, _, slab = item
-        arena = _arena_place_kernel(
-            arena, jmat_dev, np.int32(slab), rows=rows_b
+        from ..utils.retry import retry_transient
+
+        arena = retry_transient(
+            _arena_place_kernel, arena, jmat_dev, np.int32(slab), rows=rows_b
         )
         fracs[idx] = np.asarray(ident_dev, np.float64)[: idx.size]
 
