@@ -243,17 +243,36 @@ def bench_demux(n_reads=100_000, tolerance=250, n_barcodes=12, bc_len=12, seed=3
         (a2.modes, a2.matched, 5.0, 1.0, True),
     ]
 
+    use_segments = True
+
     def one_pass():
-        # Both adaptors per batch ride ONE multi-segment launch; the two
-        # launches' [2, n] outputs stack into ONE readback.
-        sf = fit_scores_segments(pfront.planes(), pfront.lengths, segs,
-                                 l1=l1, n_pad=n_pad)
-        sb = fit_scores_segments(pback.planes(), pback.lengths, segs,
-                                 l1=l1, n_pad=n_pad)
-        s = np.asarray(
-            jnp.concatenate([sf, sb])[:, :n_reads], dtype=np.float64
-        )  # ONE readback: rows = a1@front, a2@front, a1@back, a2@back
-        resolve_strand(s[0], s[3], s[2], s[1])
+        nonlocal use_segments
+        if use_segments:
+            try:
+                # Both adaptors per batch ride ONE multi-segment launch; the
+                # two launches' [2, n] outputs stack into ONE readback.
+                sf = fit_scores_segments(pfront.planes(), pfront.lengths,
+                                         segs, l1=l1, n_pad=n_pad)
+                sb = fit_scores_segments(pback.planes(), pback.lengths,
+                                         segs, l1=l1, n_pad=n_pad)
+                s = np.asarray(
+                    jnp.concatenate([sf, sb])[:, :n_reads], dtype=np.float64
+                )  # ONE readback: a1@front, a2@front, a1@back, a2@back
+                resolve_strand(s[0], s[3], s[2], s[1])
+                st.barcode_align(observed, barcodes)
+                return
+            except Exception as e:
+                print(f"[bench] segments demux unavailable: {str(e)[:120]}",
+                      file=sys.stderr)
+                use_segments = False
+        dev = [
+            align_scores_only(a1, None, 5.0, 1.0, prepared=pfront, as_device=True),
+            align_scores_only(a2, None, 5.0, 1.0, prepared=pback, as_device=True),
+            align_scores_only(a1, None, 5.0, 1.0, prepared=pback, as_device=True),
+            align_scores_only(a2, None, 5.0, 1.0, prepared=pfront, as_device=True),
+        ]
+        s = np.asarray(jnp.stack(dev), dtype=np.float64)  # ONE readback
+        resolve_strand(s[0], s[1], s[2], s[3])
         st.barcode_align(observed, barcodes)
 
     one_pass()  # warmup/compile

@@ -53,24 +53,37 @@ def barcode_align(
 
         from ..ops.pallas_align import pallas_available
 
+        stack = None
         if pallas_available() and mesh is None:
             # ONE multi-segment launch for all barcodes: per-launch dispatch
             # (~1-7 ms through the remote tunnel) dominated the pass at 64x
-            # the kernel time (VERDICT r4 #6).
+            # the kernel time (VERDICT r4 #6).  Falls back to per-barcode
+            # launches if the fused kernel fails to compile on this chip.
             from ..ops.pallas_align import fit_scores_segments
+            from ..utils.retry import retry_transient
 
             l1, n_pad = prepared.plane_geometry()
-            stack = fit_scores_segments(
-                prepared.planes(),
-                prepared.lengths,
-                [
-                    (p.modes, p.matched, gap_opening, gap_extension, False)
-                    for p in preps
-                ],
-                l1=l1,
-                n_pad=n_pad,
-            )[:, : prepared.n].astype(jnp.float64)  # [B, n]
-        else:
+            try:
+                stack = retry_transient(
+                    fit_scores_segments,
+                    prepared.planes(),
+                    prepared.lengths,
+                    [
+                        (p.modes, p.matched, gap_opening, gap_extension, False)
+                        for p in preps
+                    ],
+                    l1=l1,
+                    n_pad=n_pad,
+                )[:, : prepared.n].astype(jnp.float64)  # [B, n]
+            except Exception as e:  # pragma: no cover — device-specific
+                import sys
+
+                print(
+                    f"[barcode_align] segments kernel unavailable "
+                    f"({str(e)[:120]}); falling back to per-barcode launches",
+                    file=sys.stderr,
+                )
+        if stack is None:
             per_bc = [
                 align_scores_only(
                     prep, None, gap_opening, gap_extension,

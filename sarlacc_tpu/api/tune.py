@@ -177,8 +177,18 @@ def tune_alignment(
 
     use_segments = pallas_available() and mesh is None
     if use_segments:
-        rs_all = _grid_four_scores(a1, a2, combos, prep_r)
-        ss_all = _grid_four_scores(a1, a2, combos, prep_s)
+        try:
+            rs_all = _grid_four_scores(a1, a2, combos, prep_r)
+            ss_all = _grid_four_scores(a1, a2, combos, prep_s)
+        except Exception as e:  # pragma: no cover — device-specific
+            import sys
+
+            print(
+                f"[tune_alignment] segments kernel unavailable "
+                f"({str(e)[:120]}); falling back to per-point launches",
+                file=sys.stderr,
+            )
+            use_segments = False
     for ci, (go, ge) in enumerate(combos):
         if use_segments:
             rs, ss = rs_all[ci], ss_all[ci]
