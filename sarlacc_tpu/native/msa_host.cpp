@@ -686,9 +686,22 @@ int64_t sym_delete_verify(
     // length (83% of entries can land in a handful of raw-value buckets);
     // the murmur finalizer spreads them uniformly.  Equal hashes still map
     // to equal buckets, so shared-variant runs never straddle buckets.
-    const int NB_BITS = 11;
+    // Bucket count scales with the entry count (targeting <= 16k entries
+    // per bucket, 11..16 bits): at 1M 12-bp UMIs the fixed 2048 buckets
+    // held ~134k entries each and the per-bucket std::sort was 43% of the
+    // engine (r5 phase split); smaller buckets sort in cache with a lower
+    // log factor.
+    int nb_bits = 11;
+    {
+        int64_t ecount = 0;
+        for (int64_t i = 0; i < n; ++i) ecount += variant_count(lens[i], k);
+        while (nb_bits < 16 && (ecount >> nb_bits) > (int64_t)16384) ++nb_bits;
+    }
+    const int NB_BITS = nb_bits;
     const int NB = 1 << NB_BITS;
-    auto bucket_of = [](uint64_t h) { return (int)(mix64(h) >> (64 - 11)); };
+    auto bucket_of = [NB_BITS](uint64_t h) {
+        return (int)(mix64(h) >> (64 - NB_BITS));
+    };
 
     // Pass 1: per-thread bucket histograms (hashes recomputed in pass 2 —
     // cheaper than materializing a stripe-ordered temp copy).
