@@ -721,11 +721,18 @@ def _segment_lib_budget() -> int:
     merge waves) — r5 measured ~9-28 s/segment at the ~500k-read vignette
     scale of which ~2 s is DP volume, so raising the budget (2 GiB fits:
     packed table ~4 GB peak + arena + one wave's cost planes + pair
-    in-flight window < 14 GB usable) is the next MSA-scale lever.  Kept at
-    1 GiB for now: every shape class is hardware-validated and warm in the
-    persistent compile cache at this size."""
+    in-flight window < 14 GB usable) is the next MSA-scale lever.  The
+    default stays at 1 GiB — every shape class is hardware-validated and
+    warm in the persistent compile cache at this size — but large runs can
+    raise it via ``SARLACC_MSA_SEG_BUDGET_GB`` (float, GiB) to amortize the
+    per-segment fixed cost over fewer, larger segments."""
+    import os
+
     from ..utils.membudget import device_memory_budget
 
+    env = os.environ.get("SARLACC_MSA_SEG_BUDGET_GB")
+    if env:
+        return max(int(float(env) * (1 << 30)), 64 << 20)
     return device_memory_budget("lib_segment", 1 / 16, 1 << 30)
 
 

@@ -140,6 +140,33 @@ def test_hand_derived_msa_goldens():
         assert out["alignments"][0] == want, (seqs, out["alignments"][0])
 
 
+def test_segment_budget_env_override(rng, monkeypatch):
+    """SARLACC_MSA_SEG_BUDGET_GB changes only the segment packing, never
+    the alignment strings (large runs raise it to amortize per-segment
+    fixed cost — docs/performance.md)."""
+    from sarlacc_tpu.api.msa import _segment_lib_budget
+
+    seqs = [
+        ["ACGTAGCTA", "ACGTGCTA", "ACGTAGCTA"],
+        ["TTGCAGGAT", "TTGCAGAT", "TTGCAGGAT"],
+        ["ACGTAGCAT", "ACGTAGCAT", "TCGTGCAT"],
+    ]
+    flat = [s for g in seqs for s in g]
+    groups = [list(range(i * 3, i * 3 + 3)) for i in range(3)]
+    base = multi_read_align(SeqBatch.from_strings(flat), groups=groups)
+
+    monkeypatch.setenv("SARLACC_MSA_SEG_BUDGET_GB", "2")
+    assert _segment_lib_budget() == 2 << 30
+    out = multi_read_align(SeqBatch.from_strings(flat), groups=groups)
+    assert out["alignments"] == base["alignments"]
+
+    # Tiny budget forces one group per segment; output still identical.
+    monkeypatch.setenv("SARLACC_MSA_SEG_BUDGET_GB", "0.0001")
+    assert _segment_lib_budget() == 64 << 20
+    out = multi_read_align(SeqBatch.from_strings(flat), groups=groups)
+    assert out["alignments"] == base["alignments"]
+
+
 def test_single_and_empty_groups(rng):
     batch = SeqBatch.from_strings(["ACGTACGT", "ACGTACGA", "TTTT"])
     out = multi_read_align(batch, groups=[[2], [], [0, 1]])
