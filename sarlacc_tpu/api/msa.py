@@ -719,13 +719,14 @@ def _segment_lib_budget() -> int:
     Segment count scales inversely with this budget, and every segment
     pays fixed costs (library upload, extension chunk ladder, its own
     merge waves) — r5 measured ~9-28 s/segment at the ~500k-read vignette
-    scale of which ~2 s is DP volume, so raising the budget (2 GiB fits:
-    packed table ~4 GB peak + arena + one wave's cost planes + pair
-    in-flight window < 14 GB usable) is the next MSA-scale lever.  The
-    default stays at 1 GiB — every shape class is hardware-validated and
-    warm in the persistent compile cache at this size — but large runs can
-    raise it via ``SARLACC_MSA_SEG_BUDGET_GB`` (float, GiB) to amortize the
-    per-segment fixed cost over fewer, larger segments."""
+    scale of which ~2 s is DP volume.  Raising the budget was measured and
+    REJECTED: at 2 GiB the same workload ran ~110 s/segment (~7x the
+    per-GiB rate of the 1 GiB run's 16 s/segment) because merge-wave cost
+    grows superlinearly with groups per segment — wider waves pad every
+    group to the wave's widest merge and rebuild larger cost planes — so
+    the fixed cost does not amortize (docs/performance.md, r5).  The 1 GiB
+    default is both the hardware-validated and the measured-fastest size;
+    ``SARLACC_MSA_SEG_BUDGET_GB`` (float, GiB) remains for experiments."""
     import os
 
     from ..utils.membudget import device_memory_budget
